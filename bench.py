@@ -1,0 +1,97 @@
+"""Flagship benchmark: full-box emulation throughput on one chip.
+
+Headline config mirrors the reference's best published number (README.md:249:
+512^3, FP16, premodulated, disp+vel, one A100 = 25.8 s => ~5.2 M output
+voxels/s).  Here: 512^3, bf16 compute, premodulated disp+vel, device-side
+fused subbox runtime on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "voxels_per_sec_chip_512_dispvel", "value": ..., "unit":
+   "voxel/s", "vs_baseline": value / 5.2e6, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+BASELINE_VOXELS_PER_SEC = 512**3 / 25.8  # reference A100 fp16 disp+vel
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--ndiv", type=int, nargs=3, default=(4, 4, 4))
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--no-vel", action="store_true")
+    p.add_argument("--mid-chan", type=int, default=64)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax_nbody_emulator_with_dj_tpu import (
+        NBodyEmulatorCore,
+        NBodyEmulatorVelCore,
+        StyleNBodyEmulatorVelCore,
+        SubboxConfig,
+        SubboxProcessor,
+        modulate_emulator_parameters,
+        modulate_emulator_parameters_vel,
+    )
+
+    dev = jax.devices()[0]
+    key = jax.random.key(0)
+    style_params = StyleNBodyEmulatorVelCore(mid_chan=args.mid_chan).init(key)
+    compute_vel = not args.no_vel
+    if compute_vel:
+        params = modulate_emulator_parameters_vel(style_params, z=0.0, Om=0.3175)
+        model = NBodyEmulatorVelCore(mid_chan=args.mid_chan)
+    else:
+        params = modulate_emulator_parameters(style_params, z=0.0, Om=0.3175)
+        model = NBodyEmulatorCore(mid_chan=args.mid_chan)
+
+    size = (args.size,) * 3
+    cfg = SubboxConfig(
+        size=size,
+        ndiv=tuple(args.ndiv),
+        dtype=jnp.dtype(args.dtype),
+        output_dtype=np.float16,
+    )
+    proc = SubboxProcessor(model, params, cfg)
+
+    box = np.random.default_rng(1).normal(size=(3,) + size).astype(np.float32)
+
+    # Warmup / compile (excluded, as in the reference's published numbers).
+    out = proc.process_box(box, z=0.0, Om=0.3175, as_numpy=False)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        out = proc.process_box(box, z=0.0, Om=0.3175, as_numpy=False)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    voxels = float(np.prod(size))
+    value = voxels / best
+    record = {
+        "metric": f"voxels_per_sec_chip_{args.size}_{'dispvel' if compute_vel else 'disp'}",
+        "value": round(value, 1),
+        "unit": "voxel/s",
+        "vs_baseline": round(value / BASELINE_VOXELS_PER_SEC, 3),
+        "wall_s": round(best, 3),
+        "all_runs_s": [round(t, 3) for t in times],
+        "device": str(dev),
+        "dtype": args.dtype,
+        "ndiv": list(args.ndiv),
+    }
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

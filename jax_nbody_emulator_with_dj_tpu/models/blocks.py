@@ -1,0 +1,246 @@
+"""Sequence-string-driven ResNet / Resample blocks, functional (param-pytree) form.
+
+Block semantics match the reference (``blocks.py:26-153`` and the style/vel
+variants): a ResNet block ``'CACA'`` runs a 1x1 "skip" conv whose output is
+cropped by ``num_conv`` voxels per side to match the VALID-conv shrinkage of
+the main path (conv3 -> act -> conv3 -> [residual add] -> act); a Resample
+block is ``'DA'`` (stride-2 down conv) or ``'UA'`` (2x dilated up conv).
+
+The implementation is functional: parameters are plain nested dicts
+(``{'skip': {...}, 'conv_0': {...}, 'conv_1': {...}}``) and every apply
+function is a pure jittable function, channels-last.
+
+Three conv-layer flavors share one param schema:
+  * plain:   ``{weight, bias}``
+  * style:   ``{weight, bias, style_weight, style_bias}`` (modulation applied
+             via input/output channel scales — see ``ops/style.py``)
+  * premod-vel: ``{weight, dweight, bias}`` — manual forward-mode tangent
+             ``dy = conv(x, dW) + conv(dx, W)`` (reference ``layers_vel.py:82-94``),
+             fused here into a single conv over channel-concatenated inputs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv3d import conv3d, conv3d_up, leaky_relu, leaky_relu_with_tangent
+from ..ops.style import style_modulation
+
+# ---------------------------------------------------------------------------
+# Layer kinds
+# ---------------------------------------------------------------------------
+
+_KIND = {
+    "conv": dict(kernel=3, stride=1, up=False),  # 'C'
+    "skip": dict(kernel=1, stride=1, up=False),
+    "down": dict(kernel=2, stride=2, up=False),  # 'D'
+    "up": dict(kernel=2, stride=1, up=True),  # 'U'
+}
+
+
+def _run_conv(x, w, kind):
+    k = _KIND[kind]
+    if k["up"]:
+        return conv3d_up(x, w)
+    return conv3d(x, w, stride=k["stride"])
+
+
+# ---------------------------------------------------------------------------
+# Layer init
+# ---------------------------------------------------------------------------
+
+
+def init_conv_layer(key, cin, cout, kind, *, style: bool, vel: bool, style_size: int = 2, dtype=jnp.float32):
+    """Random init of one conv layer's params (lecun-normal weights)."""
+    ksz = _KIND[kind]["kernel"]
+    k_w, k_dw, k_sw = jax.random.split(key, 3)
+    fan_in = cin * ksz**3
+    shape = (ksz, ksz, ksz, cin, cout)
+    std = math.sqrt(1.0 / fan_in)
+    p = {
+        "weight": (jax.random.normal(k_w, shape) * std).astype(dtype),
+        "bias": jnp.zeros((cout,), dtype),
+    }
+    if style:
+        p["style_weight"] = (
+            jax.random.normal(k_sw, (cin, style_size)) * math.sqrt(1.0 / style_size)
+        ).astype(dtype)
+        p["style_bias"] = jnp.ones((cin,), dtype)
+    if vel and not style:
+        p["dweight"] = (jax.random.normal(k_dw, shape) * std).astype(dtype)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Layer apply
+# ---------------------------------------------------------------------------
+
+
+def apply_conv_layer(p, x, kind, *, s=None, eps: float = 1e-8):
+    """One conv layer, primal only.  Styled iff ``s`` is given.
+
+    x: (B, D, H, W, Cin) in the compute dtype; returns the same dtype.
+    """
+    out_dtype = x.dtype
+    bias = p["bias"].astype(jnp.float32)
+    if s is not None:
+        m, norm = style_modulation(p, s, eps)  # (B,Ci), (B,Co) fp32
+        u = x * m[:, None, None, None, :].astype(x.dtype)
+        z = _run_conv(u, p["weight"], kind)  # fp32 accum
+        z = z / norm[:, None, None, None, :] + bias
+    else:
+        z = _run_conv(x, p["weight"], kind) + bias
+    return z.astype(out_dtype)
+
+
+def apply_conv_layer_vel(p, x, dx, kind):
+    """Premodulated-vel conv layer: (y, dy) with baked ``weight``/``dweight``.
+
+    y  = conv(x, W) + b
+    dy = conv(x, dW) + conv(dx, W)
+       = conv(concat([x, dx], ch), concat([dW, W], in-ch))   (one fused conv)
+    First-layer rule: when ``dx`` is None the folded dW already contains the
+    w/Dz term (see ``ops.style.premodulate_layer``), so dy = conv(x, dW).
+    """
+    out_dtype = x.dtype
+    bias = p["bias"].astype(jnp.float32)
+    w, dw = p["weight"], p["dweight"]
+    y = _run_conv(x, w, kind) + bias
+    if dx is None:
+        dy = _run_conv(x, dw, kind)
+    else:
+        xx = jnp.concatenate([x, dx], axis=-1)
+        ww = jnp.concatenate([dw, w], axis=3)
+        dy = _run_conv(xx, ww, kind)
+    return y.astype(out_dtype), dy.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def _resnet_channel_plan(seq, cin, cout):
+    """Per-conv (cin, cout) plan for a ResNet main path (reference blocks.py:115-123)."""
+    main_seq = seq[:-1] if seq.endswith("A") else seq
+    num_conv = main_seq.count("C")
+    mid = max(cin, cout)
+    plan = []
+    for i in range(num_conv):
+        ci = cin if i == 0 else mid
+        co = cout if i == num_conv - 1 else mid
+        plan.append((ci, co))
+    return main_seq, num_conv, plan
+
+
+def init_resnet_block(key, seq, cin, cout, *, style: bool, vel: bool, style_size: int = 2):
+    main_seq, num_conv, plan = _resnet_channel_plan(seq, cin, cout)
+    keys = jax.random.split(key, num_conv + 1)
+    params = {
+        "skip": init_conv_layer(keys[0], cin, cout, "skip", style=style, vel=vel, style_size=style_size)
+    }
+    for i, (ci, co) in enumerate(plan):
+        params[f"conv_{i}"] = init_conv_layer(
+            keys[i + 1], ci, co, "conv", style=style, vel=vel, style_size=style_size
+        )
+    return params
+
+
+def init_resample_block(key, seq, cin, cout, *, style: bool, vel: bool, style_size: int = 2):
+    kind = "down" if "D" in seq else "up"
+    return {
+        "conv_0": init_conv_layer(key, cin, cout, kind, style=style, vel=vel, style_size=style_size)
+    }
+
+
+def _center_crop(t, spatial):
+    """Symmetric center crop of (B, D, H, W, C) to the given spatial size."""
+    slices = [slice(None)]
+    for dim, target in zip(t.shape[1:4], spatial):
+        c = dim - target
+        if c < 0 or c % 2:
+            raise ValueError(f"cannot center-crop {t.shape[1:4]} to {spatial}")
+        slices.append(slice(c // 2, dim - c // 2) if c else slice(None))
+    slices.append(slice(None))
+    return t[tuple(slices)]
+
+
+def apply_resnet_block(p, x, seq, *, s=None, eps: float = 1e-8):
+    """Primal ResNet block (plain or styled)."""
+    main_seq, num_conv, _ = _resnet_channel_plan(seq, 0, 0)
+    last_act = seq.endswith("A") and main_seq != seq
+    y = apply_conv_layer(p["skip"], x, "skip", s=s, eps=eps)
+    if num_conv > 0:
+        target = tuple(d - 2 * num_conv for d in y.shape[1:4])
+        y = _center_crop(y, target)
+    conv_idx = 0
+    for op in main_seq:
+        if op == "C":
+            x = apply_conv_layer(p[f"conv_{conv_idx}"], x, "conv", s=s, eps=eps)
+            conv_idx += 1
+        elif op == "A":
+            x = leaky_relu(x)
+        else:
+            raise ValueError(f"layer type {op!r} not supported (use C or A)")
+    x = x + y
+    if last_act:
+        x = leaky_relu(x)
+    return x
+
+
+def apply_resnet_block_vel(p, x, dx, seq):
+    """Premod-vel ResNet block threading (x, dx).  ``dx=None`` marks the
+    model's first block (first-layer tangent rule baked into dweight)."""
+    main_seq, num_conv, _ = _resnet_channel_plan(seq, 0, 0)
+    last_act = seq.endswith("A") and main_seq != seq
+    y, dy = apply_conv_layer_vel(p["skip"], x, dx, "skip")
+    if num_conv > 0:
+        target = tuple(d - 2 * num_conv for d in y.shape[1:4])
+        y = _center_crop(y, target)
+        dy = _center_crop(dy, target)
+    conv_idx = 0
+    for op in main_seq:
+        if op == "C":
+            x, dx = apply_conv_layer_vel(p[f"conv_{conv_idx}"], x, dx, "conv")
+            conv_idx += 1
+        elif op == "A":
+            x, dx = leaky_relu_with_tangent(x, dx)
+        else:
+            raise ValueError(f"layer type {op!r} not supported (use C or A)")
+    x = x + y
+    dx = dx + dy
+    if last_act:
+        x, dx = leaky_relu_with_tangent(x, dx)
+    return x, dx
+
+
+def apply_resample_block(p, x, seq, *, s=None, eps: float = 1e-8):
+    """Primal resample block: 'DA' (down) or 'UA' (up)."""
+    conv_idx = 0
+    for op in seq:
+        if op in ("D", "U"):
+            kind = "down" if op == "D" else "up"
+            x = apply_conv_layer(p[f"conv_{conv_idx}"], x, kind, s=s, eps=eps)
+            conv_idx += 1
+        elif op == "A":
+            x = leaky_relu(x)
+        else:
+            raise ValueError(f"layer type {op!r} not supported")
+    return x
+
+
+def apply_resample_block_vel(p, x, dx, seq):
+    conv_idx = 0
+    for op in seq:
+        if op in ("D", "U"):
+            kind = "down" if op == "D" else "up"
+            x, dx = apply_conv_layer_vel(p[f"conv_{conv_idx}"], x, dx, kind)
+            conv_idx += 1
+        elif op == "A":
+            x, dx = leaky_relu_with_tangent(x, dx)
+        else:
+            raise ValueError(f"layer type {op!r} not supported")
+    return x, dx

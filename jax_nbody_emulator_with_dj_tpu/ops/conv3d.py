@@ -1,0 +1,88 @@
+"""Channels-last 3D convolution primitives for TPU.
+
+TPU-first design choices (vs reference ``layers.py:52-60``, which uses NCDHW /
+OIDHW and a per-sample vmap):
+
+* layout is ``(B, D, H, W, C)`` with ``(K, K, K, Cin, Cout)`` kernels, so the
+  channel dimension maps onto the 128-wide vector lanes and the MXU sees
+  ``(spatial*batch, Cin) x (Cin, Cout)`` contractions;
+* weights are shared across the batch, so one ``lax.conv_general_dilated``
+  call covers the whole batch (style modulation is folded into input/output
+  channel scalings instead of per-sample kernels — see ``ops/style.py``);
+* the MXU always accumulates in fp32 internally; the *output buffer* dtype
+  defaults to the activation dtype (bf16 end-to-end halves HBM traffic and
+  peak memory vs fp32 conv outputs).  Pass ``accum_dtype=jnp.float32`` to
+  materialize fp32 outputs when a high-precision epilogue is needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# NDHWC activations, DHWIO kernels.
+CONV_DIMENSION_NUMBERS = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def _accum(x, accum_dtype):
+    """Resolve the conv output dtype (never narrower than the input)."""
+    if accum_dtype is None:
+        return x.dtype
+    return jnp.promote_types(x.dtype, accum_dtype)
+
+
+def conv3d(x, w, *, stride: int = 1, accum_dtype=None):
+    """VALID 3D convolution, channels-last.
+
+    Args:
+        x: ``(B, D, H, W, Cin)`` activations (any float dtype).
+        w: ``(K, K, K, Cin, Cout)`` kernel; cast to ``x.dtype`` for the MXU.
+        stride: isotropic spatial stride.
+        accum_dtype: output buffer dtype (default: ``x.dtype``).
+
+    Returns:
+        ``(B, D', H', W', Cout)``.
+    """
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride,) * 3,
+        padding="VALID",
+        dimension_numbers=CONV_DIMENSION_NUMBERS,
+        preferred_element_type=_accum(x, accum_dtype),
+    )
+
+
+def conv3d_up(x, w, *, accum_dtype=None):
+    """2x upsampling convolution via input (lhs) dilation.
+
+    Matches the reference semantics (``layers.py:107-117``): kernel size 2,
+    ``lhs_dilation=(2,2,2)``, padding ``(1,1)`` per axis — output is exactly
+    twice the input size per axis, with no checkerboard artifacts.
+    """
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=((1, 1),) * 3,
+        lhs_dilation=(2, 2, 2),
+        dimension_numbers=CONV_DIMENSION_NUMBERS,
+        preferred_element_type=_accum(x, accum_dtype),
+    )
+
+
+def leaky_relu(x, negative_slope: float = 0.01):
+    """LeakyReLU with the reference's 0.01 slope (``layers.py:127-133``)."""
+    return jax.nn.leaky_relu(x, negative_slope=jnp.asarray(negative_slope, x.dtype))
+
+
+def leaky_relu_with_tangent(x, dx, negative_slope: float = 0.01):
+    """LeakyReLU on a (primal, tangent) pair: dy = dx where x>0 else slope*dx.
+
+    Reference: ``layers_vel.py:178-186``.
+    """
+    slope = jnp.asarray(negative_slope, x.dtype)
+    y = jax.nn.leaky_relu(x, negative_slope=slope)
+    dy = jnp.where(x > 0, dx, slope.astype(dx.dtype) * dx)
+    return y, dy

@@ -8,7 +8,7 @@ imported gives us 8 virtual CPU devices in any environment.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,4 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The environment may pre-register an accelerator backend (e.g. a tunneled
+# TPU) that ignores the JAX_PLATFORMS env var; the config knob still wins.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", False)
+# This JAX build's default fp32 matmul/conv uses a reduced-precision fast
+# path (~2e-3 rel error); tests need deterministic fp32 numerics.
+jax.config.update("jax_default_matmul_precision", "highest")

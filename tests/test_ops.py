@@ -1,0 +1,183 @@
+"""Unit tests for conv primitives and the style-modulation identity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax_nbody_emulator_with_dj_tpu.ops.conv3d import (
+    conv3d,
+    conv3d_up,
+    leaky_relu,
+    leaky_relu_with_tangent,
+)
+from jax_nbody_emulator_with_dj_tpu.ops.style import (
+    modulated_style_weight,
+    premodulate_layer,
+    style_modulation,
+    style_vector,
+)
+from jax_nbody_emulator_with_dj_tpu.models.blocks import (
+    apply_conv_layer,
+    apply_conv_layer_vel,
+    init_conv_layer,
+)
+
+KEY = jax.random.key(42)
+
+
+def _rand(shape, key=KEY, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype)
+
+
+class TestConv3D:
+    def test_valid_shrinks_by_kernel_minus_one(self):
+        x = _rand((2, 10, 10, 10, 3))
+        w = _rand((3, 3, 3, 3, 5))
+        y = conv3d(x, w)
+        assert y.shape == (2, 8, 8, 8, 5)
+
+    def test_k1_preserves_size(self):
+        x = _rand((1, 6, 6, 6, 4))
+        w = _rand((1, 1, 1, 4, 2))
+        assert conv3d(x, w).shape == (1, 6, 6, 6, 2)
+
+    def test_stride2_halves(self):
+        x = _rand((1, 8, 8, 8, 4))
+        w = _rand((2, 2, 2, 4, 4))
+        assert conv3d(x, w, stride=2).shape == (1, 4, 4, 4, 4)
+
+    def test_upsample_doubles(self):
+        x = _rand((1, 5, 5, 5, 4))
+        w = _rand((2, 2, 2, 4, 4))
+        assert conv3d_up(x, w).shape == (1, 10, 10, 10, 4)
+
+    def test_matches_manual_dot_k1(self):
+        # 1x1x1 conv is a per-voxel matmul.
+        x = _rand((1, 4, 4, 4, 3))
+        w = _rand((1, 1, 1, 3, 2))
+        y = conv3d(x, w)
+        expected = jnp.einsum("bdhwi,io->bdhwo", x, w[0, 0, 0])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(expected), rtol=1e-5, atol=1e-6)
+
+    def test_bf16_output_dtype(self):
+        x = _rand((1, 6, 6, 6, 8)).astype(jnp.bfloat16)
+        w = _rand((3, 3, 3, 8, 8)).astype(jnp.bfloat16)
+        assert conv3d(x, w).dtype == jnp.bfloat16
+        assert conv3d(x, w, accum_dtype=jnp.float32).dtype == jnp.float32
+
+
+class TestLeakyReLU:
+    def test_slope(self):
+        x = jnp.array([-2.0, -1.0, 0.0, 1.0])
+        np.testing.assert_allclose(
+            np.asarray(leaky_relu(x)), [-0.02, -0.01, 0.0, 1.0], rtol=1e-6
+        )
+
+    def test_tangent(self):
+        x = jnp.array([-1.0, 2.0])
+        dx = jnp.array([3.0, 3.0])
+        y, dy = leaky_relu_with_tangent(x, dx)
+        np.testing.assert_allclose(np.asarray(dy), [0.03, 3.0], rtol=1e-6)
+        # matches jax.jvp of leaky_relu
+        _, dy_ad = jax.jvp(leaky_relu, (x,), (dx,))
+        np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_ad), rtol=1e-6)
+
+
+class TestStyleIdentity:
+    """The input/output-scaling formulation must equal explicit per-sample
+    modulated-demodulated weights (the reference's formulation)."""
+
+    @pytest.fixture(scope="class")
+    def layer(self):
+        return init_conv_layer(KEY, 6, 5, "conv", style=True, vel=False)
+
+    def test_norm_matches_explicit(self, layer):
+        s = style_vector(jnp.array([0.25, 0.35]), jnp.array([0.7, 1.1]))
+        m, norm = style_modulation(layer, s)
+        # Explicit: norm over (K,K,K,Ci) of modulated weight
+        w = layer["weight"][None] * m[:, None, None, None, :, None]
+        norm_explicit = jnp.sqrt(jnp.sum(w**2, axis=(1, 2, 3, 4)) + 1e-8)
+        np.testing.assert_allclose(np.asarray(norm), np.asarray(norm_explicit), rtol=1e-5)
+
+    def test_conv_identity(self, layer):
+        s = style_vector(jnp.array([0.25, 0.35]), jnp.array([0.7, 1.1]))
+        x = _rand((2, 8, 8, 8, 6))
+        # Ours: input-scale + shared conv + output-scale
+        y = apply_conv_layer(layer, x, "conv", s=s)
+        # Explicit per-sample weights (reference formulation)
+        w_mod = modulated_style_weight(layer, s)  # (B,K,K,K,Ci,Co)
+        ys = []
+        for b in range(2):
+            yb = conv3d(x[b : b + 1], w_mod[b]) + layer["bias"]
+            ys.append(yb[0])
+        y_explicit = jnp.stack(ys)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_explicit), rtol=1e-4, atol=1e-5
+        )
+
+    def test_unit_style_roughly_demodulates(self, layer):
+        # demodulated weights have unit norm per output channel
+        s = style_vector(0.3, 1.0)
+        w_mod = modulated_style_weight(layer, s)[0]
+        norms = jnp.sqrt(jnp.sum(w_mod**2, axis=(0, 1, 2, 3)))
+        np.testing.assert_allclose(np.asarray(norms), 1.0, rtol=1e-4)
+
+
+class TestPremodulateLayer:
+    @pytest.fixture(scope="class")
+    def layer(self):
+        return init_conv_layer(KEY, 4, 3, "conv", style=True, vel=False)
+
+    def test_weight_matches_explicit(self, layer):
+        s = style_vector(0.32, 0.85)
+        folded = premodulate_layer(layer, s[0])
+        w_explicit = modulated_style_weight(layer, s)[0]
+        np.testing.assert_allclose(
+            np.asarray(folded["weight"]), np.asarray(w_explicit), rtol=1e-5
+        )
+        assert "dweight" not in folded
+
+    def test_dweight_matches_autodiff(self, layer):
+        """The analytic tangent fold must equal d/dDz of the folded weight."""
+        Om = 0.3175
+
+        def folded_weight(Dz):
+            s = style_vector(Om, Dz)[0]
+            return premodulate_layer(layer, s)["weight"]
+
+        Dz0 = jnp.float32(0.8)
+        _, dw_ad = jax.jvp(folded_weight, (Dz0,), (jnp.float32(1.0),))
+        s = style_vector(Om, Dz0)[0]
+        folded = premodulate_layer(layer, s, vel=True, first_layer=False)
+        np.testing.assert_allclose(
+            np.asarray(folded["dweight"]), np.asarray(dw_ad), rtol=1e-4, atol=1e-6
+        )
+
+    def test_first_layer_rule(self, layer):
+        s = style_vector(0.3175, 0.8)[0]
+        plain = premodulate_layer(layer, s, vel=True, first_layer=False)
+        first = premodulate_layer(layer, s, vel=True, first_layer=True)
+        extra = np.asarray(first["dweight"]) - np.asarray(plain["dweight"])
+        np.testing.assert_allclose(
+            extra, np.asarray(plain["weight"]) / 0.8, rtol=1e-4, atol=1e-7
+        )
+
+
+class TestPremodVelLayer:
+    def test_tangent_composition(self):
+        p = init_conv_layer(KEY, 3, 4, "conv", style=False, vel=True)
+        x = _rand((2, 8, 8, 8, 3))
+        dx = _rand((2, 8, 8, 8, 3), jax.random.key(7))
+        y, dy = apply_conv_layer_vel(p, x, dx, "conv")
+        y_ref = conv3d(x, p["weight"]) + p["bias"]
+        dy_ref = conv3d(x, p["dweight"]) + conv3d(dx, p["weight"])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_ref), rtol=1e-4, atol=1e-5)
+
+    def test_first_layer_none_tangent(self):
+        p = init_conv_layer(KEY, 3, 4, "conv", style=False, vel=True)
+        x = _rand((1, 8, 8, 8, 3))
+        _, dy = apply_conv_layer_vel(p, x, None, "conv")
+        dy_ref = conv3d(x, p["dweight"])
+        np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_ref), rtol=1e-5, atol=1e-6)

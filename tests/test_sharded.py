@@ -1,0 +1,168 @@
+"""Multi-device sharded runtime tests on a virtual 8-device CPU mesh.
+
+The TPU analog of multi-node testing: shard_map + ppermute halo exchange must
+reproduce the single-device subbox runtime bit-for-tolerance on any mesh
+shape (this is the reference's "exact full coverage" contract lifted to the
+distributed setting).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from jax_nbody_emulator_with_dj_tpu.models import (
+    StyleNBodyEmulatorCore,
+    StyleNBodyEmulatorVelCore,
+)
+from jax_nbody_emulator_with_dj_tpu.parallel import (
+    ShardedBoxConfig,
+    ShardedBoxProcessor,
+    halo_exchange,
+    make_mesh,
+)
+from jax_nbody_emulator_with_dj_tpu.parallel.mesh import _factor3, mesh_for_devices
+from jax_nbody_emulator_with_dj_tpu.subbox import SubboxConfig, SubboxProcessor
+
+KEY = jax.random.key(5)
+CFG = dict(levels=1, mid_chan=4)  # margin 12
+HALO = 12
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def style_params():
+    return StyleNBodyEmulatorCore(**CFG).init(KEY)
+
+
+@pytest.fixture(scope="module")
+def box():
+    return np.asarray(jax.random.normal(KEY, (3, 64, 32, 32), jnp.float32))
+
+
+@pytest.fixture(scope="module")
+def reference_output(style_params, box):
+    """Single-device subbox result to compare all mesh shapes against."""
+    model = StyleNBodyEmulatorCore(**CFG)
+    cfg = SubboxConfig(
+        size=(64, 32, 32), ndiv=(2, 1, 1), padding=((HALO, HALO),) * 3
+    )
+    return SubboxProcessor(model, style_params, cfg).process_box(box, 0.5, 0.3)
+
+
+class TestMeshUtils:
+    def test_factor3(self):
+        assert _factor3(8) == (2, 2, 2)
+        assert _factor3(16) == (4, 2, 2)
+        assert _factor3(1) == (1, 1, 1)
+        assert _factor3(12) == (3, 2, 2)
+
+    def test_make_mesh(self):
+        mesh = make_mesh((2, 2, 2))
+        assert mesh.shape == {"x": 2, "y": 2, "z": 2}
+
+    def test_mesh_for_devices(self):
+        mesh = mesh_for_devices(8)
+        assert np.prod(list(mesh.shape.values())) == 8
+
+
+class TestHaloExchange:
+    def test_matches_periodic_pad(self):
+        """halo_exchange over any mesh == jnp.pad(mode='wrap') globally."""
+        mesh = make_mesh((2, 2, 2))
+        spec = P(None, "x", "y", "z")
+        vol = jax.random.normal(jax.random.key(9), (3, 16, 16, 16))
+
+        f = jax.jit(
+            jax.shard_map(
+                lambda v: halo_exchange(v, 4),
+                mesh=mesh,
+                in_specs=spec,
+                out_specs=spec,
+                check_vma=False,
+            )
+        )
+        got = f(vol)
+        # shard_map concatenation of padded shards is NOT the padded global
+        # volume; instead check each shard against the wrap-padded global.
+        expected_global = jnp.pad(vol, ((0, 0),) + ((4, 4),) * 3, mode="wrap")
+        # Reconstruct each shard's padded block from the global array.
+        got_np = np.asarray(got)
+        exp_np = np.asarray(expected_global)
+        # shard (i,j,k) interior starts at (8i, 8j, 8k); padded block is
+        # global wrap-padded slice [8i:8i+16, ...] of the 4-padded array.
+        for i in range(2):
+            for j in range(2):
+                for k in range(2):
+                    blk = exp_np[:, 8 * i : 8 * i + 16, 8 * j : 8 * j + 16, 8 * k : 8 * k + 16]
+                    # but global wrap != local wrap at interior boundaries:
+                    # the padded slice must use periodic *global* indexing
+                    idx = lambda a, n: (np.arange(a - 4, a + 8 + 4) % n)
+                    gi = idx(8 * i, 16)
+                    gj = idx(8 * j, 16)
+                    gk = idx(8 * k, 16)
+                    blk = np.asarray(vol)[:, gi[:, None, None], gj[None, :, None], gk[None, None, :]]
+                    got_blk = got_np[
+                        :, 16 * i : 16 * (i + 1), 16 * j : 16 * (j + 1), 16 * k : 16 * (k + 1)
+                    ]
+                    np.testing.assert_allclose(got_blk, blk, rtol=1e-6)
+
+
+class TestShardedProcessor:
+    @pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (4, 2, 1), (4, 1, 1), (1, 1, 1)])
+    def test_matches_single_device(self, style_params, box, reference_output, mesh_shape):
+        model = StyleNBodyEmulatorCore(**CFG)
+        mesh = make_mesh(mesh_shape)
+        cfg = ShardedBoxConfig(
+            size=(64, 32, 32), dtype=jnp.float32, halo=HALO,
+        )
+        proc = ShardedBoxProcessor(model, style_params, mesh, cfg)
+        out = proc.process_box(box, 0.5, 0.3, as_numpy=True)
+        np.testing.assert_allclose(out, reference_output, rtol=2e-4, atol=2e-5)
+
+    def test_tiled_shards_match(self, style_params, box, reference_output):
+        model = StyleNBodyEmulatorCore(**CFG)
+        mesh = make_mesh((2, 1, 1))
+        cfg = ShardedBoxConfig(
+            size=(64, 32, 32), tiles_per_shard=(2, 2, 1), dtype=jnp.float32, halo=HALO
+        )
+        proc = ShardedBoxProcessor(model, style_params, mesh, cfg)
+        out = proc.process_box(box, 0.5, 0.3, as_numpy=True)
+        np.testing.assert_allclose(out, reference_output, rtol=2e-4, atol=2e-5)
+
+    def test_velocity_sharded(self, style_params, box):
+        model = StyleNBodyEmulatorVelCore(**CFG)
+        mesh = make_mesh((2, 2, 2))
+        cfg = ShardedBoxConfig(size=(64, 32, 32), dtype=jnp.float32, halo=HALO)
+        proc = ShardedBoxProcessor(model, style_params, mesh, cfg)
+        d, v = proc.process_box(box, 0.5, 0.3, as_numpy=True)
+        assert d.shape == v.shape == (3, 64, 32, 32)
+        # vs single-device vel
+        scfg = SubboxConfig(size=(64, 32, 32), ndiv=(2, 1, 1), padding=((HALO, HALO),) * 3)
+        d1, v1 = SubboxProcessor(model, style_params, scfg).process_box(box, 0.5, 0.3)
+        np.testing.assert_allclose(d, d1, rtol=2e-4, atol=2e-5)
+        scale = np.abs(v1).max()
+        np.testing.assert_allclose(v / scale, v1 / scale, rtol=2e-4, atol=2e-4)
+
+    def test_output_stays_sharded(self, style_params, box):
+        model = StyleNBodyEmulatorCore(**CFG)
+        mesh = make_mesh((2, 2, 2))
+        cfg = ShardedBoxConfig(size=(64, 32, 32), dtype=jnp.float32, halo=HALO)
+        proc = ShardedBoxProcessor(model, style_params, mesh, cfg)
+        out = proc.process_box(box, 0.5, 0.3)
+        assert isinstance(out, jax.Array)
+        assert len(out.sharding.device_set) == 8
+
+    def test_invalid_geometry_raises(self, style_params):
+        model = StyleNBodyEmulatorCore(**CFG)
+        mesh = make_mesh((2, 2, 2))
+        with pytest.raises(ValueError):
+            # 8/2=4 per shard < halo 12
+            ShardedBoxProcessor(
+                model, style_params, mesh,
+                ShardedBoxConfig(size=(8, 8, 8), halo=HALO),
+            )

@@ -1,0 +1,222 @@
+"""Subbox runtime tests: index math, coverage, periodicity, model matrix.
+
+Mirrors the reference's test_subbox.py contract (anchors, periodic wrap,
+exact full coverage, determinism, dtype matrix) against the device-side
+fused implementation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax_nbody_emulator_with_dj_tpu.models import (
+    NBodyEmulatorCore,
+    NBodyEmulatorVelCore,
+    StyleNBodyEmulatorCore,
+    StyleNBodyEmulatorVelCore,
+)
+from jax_nbody_emulator_with_dj_tpu.subbox import SubboxConfig, SubboxProcessor
+from jax_nbody_emulator_with_dj_tpu.emulator import (
+    modulate_emulator_parameters,
+    modulate_emulator_parameters_vel,
+)
+
+KEY = jax.random.key(3)
+CFG = dict(levels=1, mid_chan=4)
+PAD = ((12, 12), (12, 12), (12, 12))  # levels=1 margin
+
+
+def make_config(size=(32, 32, 32), ndiv=(2, 2, 2), **kw):
+    return SubboxConfig(size=size, ndiv=ndiv, padding=PAD, **kw)
+
+
+@pytest.fixture(scope="module")
+def style_params():
+    return StyleNBodyEmulatorCore(**CFG).init(KEY)
+
+
+@pytest.fixture(scope="module")
+def box():
+    return np.asarray(jax.random.normal(KEY, (3, 32, 32, 32), jnp.float32))
+
+
+class TestSubboxConfig:
+    def test_anchor_decode_row_major(self):
+        cfg = make_config(size=(32, 64, 96), ndiv=(2, 2, 3))
+        assert cfg.crop_size == (16, 32, 32)
+        assert cfg.n_subboxes == 12
+        assert cfg._get_anchor(0) == (0, 0, 0)
+        assert cfg._get_anchor(1) == (0, 0, 32)
+        assert cfg._get_anchor(3) == (0, 32, 0)
+        assert cfg._get_anchor(6) == (16, 0, 0)
+        assert cfg._get_anchor(11) == (16, 32, 64)
+
+    def test_indivisible_raises(self):
+        with pytest.raises(ValueError):
+            make_config(size=(30, 32, 32), ndiv=(4, 2, 2))
+
+    def test_periodic_wrap_in_crop_indices(self):
+        cfg = make_config()
+        inds = cfg.crop_indices(0)  # anchor 0: left pad wraps
+        assert inds[0][0] == (0 - 12) % 32 == 20
+        assert inds[0][-1] == (0 + 16 + 12 - 1) % 32 == 27
+        assert all(0 <= i < 32 for axis in inds for i in axis)
+
+    def test_full_coverage_exactly_once(self):
+        cfg = make_config(size=(32, 32, 64), ndiv=(2, 1, 4))
+        hits = np.zeros(cfg.size, dtype=np.int32)
+        for idx in range(cfg.n_subboxes):
+            a = cfg.anchors[idx]
+            sl = tuple(slice(int(a[d]), int(a[d]) + cfg.crop_size[d]) for d in range(3))
+            hits[sl] += 1
+        assert np.all(hits == 1)
+
+    def test_crop_extent(self):
+        cfg = make_config()
+        assert cfg.crop_extent == (40, 40, 40)
+
+
+class TestProcessorModelMatrix:
+    def test_style_disp(self, style_params, box):
+        model = StyleNBodyEmulatorCore(**CFG)
+        proc = SubboxProcessor(model, style_params, make_config())
+        out = proc.process_box(box, z=0.5, Om=0.3)
+        assert out.shape == (3, 32, 32, 32)
+        assert out.dtype == np.float32
+        assert np.all(np.isfinite(out))
+
+    def test_style_vel(self, style_params, box):
+        model = StyleNBodyEmulatorVelCore(**CFG)
+        proc = SubboxProcessor(model, style_params, make_config())
+        dis, vel = proc.process_box(box, z=0.5, Om=0.3)
+        assert dis.shape == vel.shape == (3, 32, 32, 32)
+        assert np.all(np.isfinite(vel))
+
+    def test_premod_disp(self, style_params, box):
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3)
+        model = NBodyEmulatorCore(**CFG)
+        proc = SubboxProcessor(model, params, make_config())
+        out = proc.process_box(box, z=0.5, Om=0.3)
+        assert out.shape == (3, 32, 32, 32)
+
+    def test_premod_vel(self, style_params, box):
+        params = modulate_emulator_parameters_vel(style_params, 0.5, 0.3)
+        model = NBodyEmulatorVelCore(**CFG)
+        proc = SubboxProcessor(model, params, make_config())
+        dis, vel = proc.process_box(box, z=0.5, Om=0.3)
+        assert dis.shape == vel.shape == (3, 32, 32, 32)
+
+    def test_style_equals_premod(self, style_params, box):
+        m1 = StyleNBodyEmulatorCore(**CFG)
+        out1 = SubboxProcessor(m1, style_params, make_config()).process_box(box, 0.5, 0.3)
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3)
+        m2 = NBodyEmulatorCore(**CFG)
+        out2 = SubboxProcessor(m2, params, make_config()).process_box(box, 0.5, 0.3)
+        np.testing.assert_allclose(out1, out2, rtol=1e-4, atol=1e-5)
+
+
+class TestProcessorSemantics:
+    def test_matches_direct_apply_single_subbox(self, style_params, box):
+        """ndiv=1: process_box == model.apply on the wrap-padded box."""
+        model = StyleNBodyEmulatorCore(**CFG)
+        proc = SubboxProcessor(model, style_params, make_config(ndiv=(1, 1, 1)))
+        out = proc.process_box(box, z=0.5, Om=0.3)
+        from jax_nbody_emulator_with_dj_tpu.cosmology import growth_factor
+
+        dz = growth_factor(0.5, 0.3)
+        padded = np.pad(box, ((0, 0),) + ((12, 12),) * 3, mode="wrap")
+        direct = model.apply(style_params, jnp.asarray(padded)[None], 0.3, dz)
+        np.testing.assert_allclose(out, np.asarray(direct[0]), rtol=1e-4, atol=1e-5)
+
+    def test_subdivision_invariance(self, style_params, box):
+        """Different ndiv must give identical results (VALID convs + exact halos)."""
+        model = StyleNBodyEmulatorCore(**CFG)
+        out1 = SubboxProcessor(model, style_params, make_config(ndiv=(1, 1, 1))).process_box(box, 0.5, 0.3)
+        out2 = SubboxProcessor(model, style_params, make_config(ndiv=(2, 2, 2))).process_box(box, 0.5, 0.3)
+        out3 = SubboxProcessor(model, style_params, make_config(ndiv=(2, 1, 1))).process_box(box, 0.5, 0.3)
+        np.testing.assert_allclose(out1, out2, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(out1, out3, rtol=1e-4, atol=1e-5)
+
+    def test_periodicity(self, style_params, box):
+        """Rolling the input box rolls the output: true periodic BC."""
+        model = StyleNBodyEmulatorCore(**CFG)
+        proc = SubboxProcessor(model, style_params, make_config())
+        out = proc.process_box(box, z=0.5, Om=0.3)
+        shift = 16  # multiple of crop size keeps the decomposition aligned
+        rolled = np.roll(box, shift, axis=1)
+        out_rolled = proc.process_box(rolled, z=0.5, Om=0.3)
+        np.testing.assert_allclose(
+            np.roll(out, shift, axis=1), out_rolled, rtol=1e-4, atol=1e-5
+        )
+
+    def test_determinism(self, style_params, box):
+        model = StyleNBodyEmulatorCore(**CFG)
+        proc = SubboxProcessor(model, style_params, make_config())
+        out1 = proc.process_box(box, z=0.5, Om=0.3)
+        out2 = proc.process_box(box, z=0.5, Om=0.3)
+        np.testing.assert_array_equal(out1, out2)
+
+    def test_input_immutable(self, style_params, box):
+        model = StyleNBodyEmulatorCore(**CFG)
+        proc = SubboxProcessor(model, style_params, make_config())
+        before = box.copy()
+        proc.process_box(box, z=0.5, Om=0.3)
+        np.testing.assert_array_equal(box, before)
+
+    def test_z_sensitivity(self, style_params, box):
+        model = StyleNBodyEmulatorCore(**CFG)
+        proc = SubboxProcessor(model, style_params, make_config())
+        out1 = proc.process_box(box, z=0.0, Om=0.3)
+        out2 = proc.process_box(box, z=2.0, Om=0.3)
+        assert not np.allclose(out1, out2)
+
+    def test_wrong_shape_raises(self, style_params):
+        model = StyleNBodyEmulatorCore(**CFG)
+        proc = SubboxProcessor(model, style_params, make_config())
+        with pytest.raises(ValueError):
+            proc.process_box(np.zeros((3, 16, 32, 32), np.float32), 0.5, 0.3)
+
+    def test_wrong_padding_raises(self, style_params):
+        model = StyleNBodyEmulatorCore(**CFG)  # margin 12
+        with pytest.raises(ValueError):
+            SubboxProcessor(
+                model, style_params,
+                SubboxConfig(size=(32,) * 3, ndiv=(2,) * 3, padding=((48, 48),) * 3),
+            )
+
+    def test_asymmetric_ndiv(self, style_params):
+        model = StyleNBodyEmulatorCore(**CFG)
+        box = np.asarray(jax.random.normal(KEY, (3, 64, 32, 32), jnp.float32))
+        proc = SubboxProcessor(
+            model, style_params, make_config(size=(64, 32, 32), ndiv=(4, 2, 1))
+        )
+        out = proc.process_box(box, z=0.5, Om=0.3)
+        assert out.shape == (3, 64, 32, 32)
+
+
+class TestDtypeMatrix:
+    @pytest.mark.parametrize("compute_dtype", [jnp.float32, jnp.bfloat16])
+    @pytest.mark.parametrize("output_dtype", [np.float32, np.float16])
+    def test_dtypes(self, style_params, box, compute_dtype, output_dtype):
+        model = StyleNBodyEmulatorCore(**CFG)
+        cfg = make_config(dtype=compute_dtype, output_dtype=output_dtype)
+        out = SubboxProcessor(model, style_params, cfg).process_box(box, 0.5, 0.3)
+        assert out.dtype == output_dtype
+        assert np.all(np.isfinite(out.astype(np.float32)))
+
+    def test_bf16_close_to_f32(self, style_params, box):
+        model = StyleNBodyEmulatorCore(**CFG)
+        out32 = SubboxProcessor(model, style_params, make_config()).process_box(box, 0.5, 0.3)
+        out16 = SubboxProcessor(
+            model, style_params, make_config(dtype=jnp.bfloat16)
+        ).process_box(box, 0.5, 0.3)
+        # bf16 end-to-end: loose tolerance, but correlated
+        corr = np.corrcoef(out32.ravel(), out16.ravel())[0, 1]
+        assert corr > 0.99
+
+    def test_device_output(self, style_params, box):
+        model = StyleNBodyEmulatorCore(**CFG)
+        proc = SubboxProcessor(model, style_params, make_config())
+        out = proc.process_box(box, 0.5, 0.3, as_numpy=False)
+        assert isinstance(out, jax.Array)
