@@ -24,7 +24,7 @@ BASELINE_VOXELS_PER_SEC = 512**3 / 25.8  # reference A100 fp16 disp+vel
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=512)
-    p.add_argument("--ndiv", type=int, nargs=3, default=(4, 4, 4))
+    p.add_argument("--ndiv", type=int, nargs=3, default=(4, 4, 8))
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--no-vel", action="store_true")

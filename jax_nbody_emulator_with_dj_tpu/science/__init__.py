@@ -1,0 +1,39 @@
+"""JAX-native validation / science toolkit.
+
+Replaces the external native tooling the reference's scripts lean on
+(SURVEY.md section 2.2): Pylians power spectra -> ``powerspec``, CLASS linear
+P(k) -> ``linear_pk`` (Eisenstein-Hu 1998), DISCO-DJ 1LPT -> ``lpt``,
+MAS deposition -> ``mas``, field resizing -> ``resize``, Minkowski
+functionals -> ``minkowski``, bispectrum -> ``bispectrum``.
+Everything is jittable and runs on device.
+"""
+
+from .powerspec import power_spectrum, cross_power, transfer_and_correlation, summary_metrics
+from .linear_pk import eisenstein_hu_pk, sigma_r, normalize_sigma8
+from .grf import gaussian_random_field, white_noise_field
+from .lpt import zeldovich_displacement, displacement_to_density
+from .mas import deposit, deconvolve_mas
+from .minkowski import minkowski_functionals
+from .bispectrum import reduced_bispectrum
+from .resize import upsample_modes, downsample_average, resize_density_grid
+
+__all__ = [
+    "power_spectrum",
+    "cross_power",
+    "transfer_and_correlation",
+    "summary_metrics",
+    "eisenstein_hu_pk",
+    "sigma_r",
+    "normalize_sigma8",
+    "gaussian_random_field",
+    "white_noise_field",
+    "zeldovich_displacement",
+    "displacement_to_density",
+    "deposit",
+    "deconvolve_mas",
+    "minkowski_functionals",
+    "reduced_bispectrum",
+    "upsample_modes",
+    "downsample_average",
+    "resize_density_grid",
+]
