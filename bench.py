@@ -28,6 +28,7 @@ def main():
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--no-vel", action="store_true")
+    p.add_argument("--style", action="store_true", help="runtime-style model (no premodulation)")
     p.add_argument("--mid-chan", type=int, default=64)
     args = p.parse_args()
 
@@ -36,6 +37,7 @@ def main():
     from jax_nbody_emulator_with_dj_tpu import (
         NBodyEmulatorCore,
         NBodyEmulatorVelCore,
+        StyleNBodyEmulatorCore,
         StyleNBodyEmulatorVelCore,
         SubboxConfig,
         SubboxProcessor,
@@ -47,7 +49,11 @@ def main():
     key = jax.random.key(0)
     style_params = StyleNBodyEmulatorVelCore(mid_chan=args.mid_chan).init(key)
     compute_vel = not args.no_vel
-    if compute_vel:
+    if args.style:
+        params = style_params
+        cls = StyleNBodyEmulatorVelCore if compute_vel else StyleNBodyEmulatorCore
+        model = cls(mid_chan=args.mid_chan)
+    elif compute_vel:
         params = modulate_emulator_parameters_vel(style_params, z=0.0, Om=0.3175)
         model = NBodyEmulatorVelCore(mid_chan=args.mid_chan)
     else:
@@ -79,8 +85,9 @@ def main():
     best = min(times)
     voxels = float(np.prod(size))
     value = voxels / best
+    variant = ("style_" if args.style else "") + ("dispvel" if compute_vel else "disp")
     record = {
-        "metric": f"voxels_per_sec_chip_{args.size}_{'dispvel' if compute_vel else 'disp'}",
+        "metric": f"voxels_per_sec_chip_{args.size}_{variant}",
         "value": round(value, 1),
         "unit": "voxel/s",
         "vs_baseline": round(value / BASELINE_VOXELS_PER_SEC, 3),
