@@ -71,15 +71,19 @@ def main():
 
     box = np.random.default_rng(1).normal(size=(3,) + size).astype(np.float32)
 
+    from jax_nbody_emulator_with_dj_tpu.utils.timing import force_sync
+
     # Warmup / compile (excluded, as in the reference's published numbers).
+    # NB: block_until_ready is a no-op on some remote backends; force_sync
+    # reads back one element per output, a true completion barrier.
     out = proc.process_box(box, z=0.0, Om=0.3175, as_numpy=False)
-    jax.block_until_ready(out)
+    force_sync(out)
 
     times = []
     for _ in range(args.runs):
         t0 = time.perf_counter()
         out = proc.process_box(box, z=0.0, Om=0.3175, as_numpy=False)
-        jax.block_until_ready(out)
+        force_sync(out)
         times.append(time.perf_counter() - t0)
 
     best = min(times)

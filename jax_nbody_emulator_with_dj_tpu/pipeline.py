@@ -30,6 +30,7 @@ from .science.grf import gaussian_random_field
 from .science.linear_pk import eisenstein_hu_pk
 from .science.lpt import displacement_to_density, zeldovich_displacement
 from .science.resize import resize_density_grid
+from .utils.timing import force_sync
 
 # Quijote fiducial cosmology (reference scripts/core.py:41-47).
 QUIJOTE_FIDUCIAL = {
@@ -127,7 +128,7 @@ def run_lpt_emulator_pipeline(
     # --- 2. 1LPT displacement (z=0 normalization) ------------------------
     t0 = time.perf_counter()
     psi0 = zeldovich_displacement(delta_lin, boxsize)
-    psi0.block_until_ready()
+    force_sync(psi0)
     timings["lpt_seconds"] = time.perf_counter() - t0
 
     # LPT density diagnostic at the target redshift.
@@ -136,7 +137,7 @@ def run_lpt_emulator_pipeline(
     delta_lpt = displacement_to_density(
         psi0 * dz, boxsize, nmesh=density_res, worder=mas_worder, deconvolve=deconvolve
     )
-    delta_lpt.block_until_ready()
+    force_sync(delta_lpt)
     timings["lpt_density_seconds"] = time.perf_counter() - t0
 
     # --- 3. Emulator ------------------------------------------------------
@@ -161,7 +162,7 @@ def run_lpt_emulator_pipeline(
     for _ in range(num_sims):
         t0 = time.perf_counter()
         out = emulator.process_box(np.asarray(psi0), z=z, Om=cosmo["Om"], as_numpy=False)
-        jax.block_until_ready(out)
+        force_sync(out)
         emu_runtimes.append(time.perf_counter() - t0)
         if compute_vel:
             psi_emu, vel_emu = out
@@ -176,7 +177,7 @@ def run_lpt_emulator_pipeline(
         jnp.asarray(psi_emu, jnp.float32), boxsize,
         nmesh=density_res, worder=mas_worder, deconvolve=deconvolve,
     )
-    delta_emu.block_until_ready()
+    force_sync(delta_emu)
     timings["emu_density_seconds"] = time.perf_counter() - t0
 
     metadata = {

@@ -1,3 +1,4 @@
+from .timing import force_sync
 from .params import (
     convert_reference_params,
     convert_to_reference_params,
