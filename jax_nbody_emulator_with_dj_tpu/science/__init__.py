@@ -15,7 +15,21 @@ from .lpt import zeldovich_displacement, displacement_to_density
 from .mas import deposit, deconvolve_mas
 from .minkowski import minkowski_functionals
 from .bispectrum import reduced_bispectrum
-from .resize import upsample_modes, downsample_average, resize_density_grid
+from .resize import (
+    upsample_modes,
+    upsample_fourier,
+    downsample_average,
+    gaussian_smooth,
+    resize_density_grid,
+)
+from .halofit import halofit_pk
+from .halos import (
+    friends_of_friends,
+    positions_from_displacement,
+    empirical_hmf,
+    tinker08_hmf,
+    particle_mass_msun_h,
+)
 
 __all__ = [
     "power_spectrum",
@@ -34,6 +48,14 @@ __all__ = [
     "minkowski_functionals",
     "reduced_bispectrum",
     "upsample_modes",
+    "upsample_fourier",
     "downsample_average",
+    "gaussian_smooth",
     "resize_density_grid",
+    "halofit_pk",
+    "friends_of_friends",
+    "positions_from_displacement",
+    "empirical_hmf",
+    "tinker08_hmf",
+    "particle_mass_msun_h",
 ]

@@ -16,19 +16,39 @@ import numpy as np
 from .grf import _interp_pk, white_noise_field
 
 
-def _embed_coarse_modes(dk_coarse, n_in: int, n_out: int):
-    """Place an n_in rfftn spectrum into an n_out rfftn grid (n_out > n_in)."""
-    out_shape = (n_out, n_out, n_out // 2 + 1)
-    dk_out = jnp.zeros(out_shape, dk_coarse.dtype)
+def _axis_map(n_in: int, n_out: int):
+    """Frequency index map (src, dst, weight) for one full FFT axis.
+
+    Frequencies |f| < n_in/2 map directly; the coarse Nyquist f = n_in/2
+    (self-conjugate in the coarse grid) splits half-half onto +-n_in/2 in the
+    fine grid, preserving Hermitian symmetry and total power.
+    """
     h = n_in // 2
-    # Low-frequency blocks along the two full axes; rfft axis is contiguous.
-    for xs_src, xs_dst in (((0, h), (0, h)), ((n_in - h, n_in), (n_out - h, n_out))):
-        for ys_src, ys_dst in (((0, h), (0, h)), ((n_in - h, n_in), (n_out - h, n_out))):
-            blk = dk_coarse[xs_src[0] : xs_src[1], ys_src[0] : ys_src[1], : h + 1]
-            dk_out = dk_out.at[
-                xs_dst[0] : xs_dst[1], ys_dst[0] : ys_dst[1], : h + 1
-            ].set(blk)
-    return dk_out
+    src = list(range(0, h)) + [h, h] + list(range(h + 1, n_in))
+    dst = (
+        list(range(0, h))
+        + [h, n_out - h]
+        + [n_out - (n_in - f) for f in range(h + 1, n_in)]
+    )
+    wgt = [1.0] * h + [0.5, 0.5] + [1.0] * (n_in - h - 1)
+    return np.asarray(src), np.asarray(dst), np.asarray(wgt)
+
+
+def _embed_coarse_modes(delta_coarse, n_out: int, scale: float):
+    """Full-FFT embedding of a coarse field's modes into an n_out grid.
+
+    Returns the fine fftn spectrum (complex, full cube) containing exactly
+    the coarse field's information (band-limited interpolation), with proper
+    Nyquist-plane splitting on all three axes.
+    """
+    n_in = delta_coarse.shape[0]
+    dk_c = jnp.fft.fftn(jnp.asarray(delta_coarse, jnp.float32)) * scale
+    sx, dx_, wx = _axis_map(n_in, n_out)
+    dk_out = jnp.zeros((n_out, n_out, n_out), dk_c.dtype)
+    src = np.ix_(sx, sx, sx)
+    dst = np.ix_(dx_, dx_, dx_)
+    w = wx[:, None, None] * wx[None, :, None] * wx[None, None, :]
+    return dk_out.at[dst].set(dk_c[src] * w)
 
 
 def upsample_modes(delta, n_out: int, boxsize: float, k_table, p_table, key=None):
@@ -53,23 +73,41 @@ def upsample_modes(delta, n_out: int, boxsize: float, k_table, p_table, key=None
         key = jax.random.key(0)
 
     scale = (n_out / n_in) ** 3  # FFT normalization between grid sizes
-    dk_c = jnp.fft.rfftn(jnp.asarray(delta, jnp.float32)) * scale
-    dk_low = _embed_coarse_modes(dk_c, n_in, n_out)
+    dk_low = _embed_coarse_modes(delta, n_out, scale)  # full fftn cube
 
     kf = 2 * np.pi / boxsize
     kx = jnp.fft.fftfreq(n_out, d=1.0 / n_out) * kf
-    kz = jnp.fft.rfftfreq(n_out, d=1.0 / n_out) * kf
-    kmag = jnp.sqrt(kx[:, None, None] ** 2 + kx[None, :, None] ** 2 + kz[None, None, :] ** 2)
+    kmag = jnp.sqrt(
+        kx[:, None, None] ** 2 + kx[None, :, None] ** 2 + kx[None, None, :] ** 2
+    )
     k_nyq_coarse = kf * (n_in // 2)
     low_mask = kmag <= k_nyq_coarse
 
     pk = _interp_pk(kmag, k_table, p_table)
-    w = jnp.fft.rfftn(white_noise_field(key, n_out))
+    # fftn of real white noise is Hermitian with <|W|^2> = N^3; the target is
+    # |delta_k|^2 = P N^6 / V.
+    w = jnp.fft.fftn(white_noise_field(key, n_out))
     dk_high = w * jnp.sqrt(pk * float(n_out) ** 3 / boxsize**3)
 
     dk = jnp.where(low_mask, dk_low, dk_high)
     dk = dk.at[0, 0, 0].set(0.0)
-    return jnp.fft.irfftn(dk, s=(n_out,) * 3).astype(jnp.float32)
+    return jnp.real(jnp.fft.ifftn(dk)).astype(jnp.float32)
+
+
+def upsample_fourier(delta, n_out: int):
+    """Band-limited (Fourier zero-padding) upsampling — no new power.
+
+    Counterpart of the reference's DISCO-DJ shifted-interpolation 'fourier'
+    mode (``scripts/utils.py:186-234``): exact sinc interpolation of the
+    existing modes; k > k_nyq(coarse) stays empty.
+    """
+    n_in = delta.shape[0]
+    if n_out % n_in:
+        raise ValueError(f"n_out {n_out} must be a multiple of n_in {n_in}")
+    if n_out == n_in:
+        return jnp.asarray(delta)
+    dk = _embed_coarse_modes(delta, n_out, (n_out / n_in) ** 3)
+    return jnp.real(jnp.fft.ifftn(dk)).astype(jnp.float32)
 
 
 def downsample_average(delta, n_out: int):
