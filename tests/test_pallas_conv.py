@@ -1,0 +1,102 @@
+"""Pallas fused-conv kernel tests (interpreter mode on CPU).
+
+The same kernel runs compiled on TPU; interpreter mode pins the math
+(s2d weight fold, halo DMA windows, tap accumulation, fused epilogue).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax_nbody_emulator_with_dj_tpu.ops.conv3d import conv3d, leaky_relu
+from jax_nbody_emulator_with_dj_tpu.ops.pallas_conv import (
+    conv3d_pallas,
+    s2d_pack,
+    s2d_unpack,
+    s2d_weights,
+)
+
+KEY = jax.random.key(0)
+C = 64
+
+
+@pytest.fixture(scope="module")
+def wb():
+    w = (jax.random.normal(KEY, (3, 3, 3, C, C)) * 0.05).astype(jnp.float32)
+    b = jax.random.normal(jax.random.key(1), (C,)) * 0.1
+    return w, b
+
+
+class TestS2DTransform:
+    def test_pack_unpack_roundtrip(self):
+        x = jax.random.normal(KEY, (2, 4, 4, 8, C))
+        np.testing.assert_array_equal(np.asarray(s2d_unpack(s2d_pack(x))), np.asarray(x))
+
+    def test_packed_conv_equals_plain(self, wb):
+        """conv3x3x3(x, W) == unpack(conv3x3x2(pack(x), W')) via XLA convs."""
+        w, _ = wb
+        x = jax.random.normal(KEY, (1, 10, 10, 12, C), jnp.float32)
+        y_plain = conv3d(x, w)
+        from jax.lax import conv_general_dilated
+
+        xp = s2d_pack(x)
+        wp = s2d_weights(w)
+        yp = conv_general_dilated(
+            xp, wp, (1, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        y_s2d = s2d_unpack(yp)
+        np.testing.assert_allclose(
+            np.asarray(y_plain), np.asarray(y_s2d), rtol=1e-4, atol=1e-5
+        )
+
+    def test_weight_fold_blocks(self, wb):
+        w, _ = wb
+        wp = np.asarray(s2d_weights(w))
+        # p=0,q=1,a=1 block must be W[kw=3] = zero-block? 2a+q-p = 3 -> zero
+        assert np.all(wp[:, :, 1, C:, :C] == 0)
+        # p=1,q=0,a=0 -> kw=-1 -> zero
+        assert np.all(wp[:, :, 0, :C, C:] == 0)
+        # p=0,q=0,a=0 -> kw=0
+        np.testing.assert_array_equal(wp[:, :, 0, :C, :C], np.asarray(w[:, :, 0]))
+
+
+class TestPallasKernel:
+    def test_matches_xla_with_bias_and_leaky(self, wb):
+        w, b = wb
+        x = jax.random.normal(KEY, (1, 12, 12, 16, C), jnp.float32)
+        y_ref = leaky_relu(conv3d(x, w) + b)
+        y = conv3d_pallas(x, w, b, leaky=True, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_no_bias_no_activation(self, wb):
+        w, _ = wb
+        x = jax.random.normal(KEY, (1, 12, 12, 16, C), jnp.float32)
+        y_ref = conv3d(x, w)
+        y = conv3d_pallas(x, w, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_batched(self, wb):
+        w, b = wb
+        x = jax.random.normal(KEY, (2, 12, 12, 16, C), jnp.float32)
+        y_ref = leaky_relu(conv3d(x, w) + b)
+        y = conv3d_pallas(x, w, b, leaky=True, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_non_block_aligned_shape(self, wb):
+        """Odd output dims exercise the padding/clipping path."""
+        w, b = wb
+        x = jax.random.normal(KEY, (1, 13, 15, 20, C), jnp.float32)
+        y_ref = conv3d(x, w) + b
+        y = conv3d_pallas(x, w, b, interpret=True)
+        assert y.shape == y_ref.shape == (1, 11, 13, 18, C)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-5
+        )
