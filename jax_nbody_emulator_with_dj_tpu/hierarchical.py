@@ -1,0 +1,306 @@
+"""Hierarchical big-box runtime: overlap-minimal periodic U-Net evaluation.
+
+The subbox runtime (``subbox.py``) recomputes each tile's 48-voxel halo
+through the whole network: at 128^3 tiles that is a 5.4x FLOP overhead.  This
+runtime exploits the U-Net's structure to cut the overhead to ~1.3x:
+
+  Phase 1 (slab-streamed encoder, level 0): conv_l00/conv_l01/down_l0 are
+    applied to D-axis slabs of the full box (4-voxel D halos, periodic
+    wrap in H/W), immediately downsampling each slab into the level-1
+    buffer.  Full-resolution features are never stored.
+  Phase 2 (monolithic deep network): everything from conv_l1 through
+    conv_r1 runs on the whole (N/2)^3 volume using periodic (wrap-pad)
+    convolutions — zero overlap, exact circular-convolution semantics
+    identical to the subbox assembly.
+  Phase 3 (tiled final decode): per output tile, y0 is recomputed from the
+    input box (halo 8) and combined with an up_r0 slice of the phase-2
+    buffer through conv_r00/conv_r01 (halo 4) — small halos because only
+    four convs separate these inputs from the output.
+
+Centered periodic convolutions (wrap-pad 1 per k3 conv side) keep every
+tensor aligned to the global grid, which makes this runtime bit-compatible
+(up to fp reordering) with the subbox decomposition — asserted in tests.
+
+Supports the premodulated displacement and displacement+velocity models
+(the production configurations).  Memory peak is a few (N/2)^3 x 64ch
+buffers plus one slab/tile working set, so 512^3 fits on a 16 GB chip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .cosmology import growth_factor, vel_norm
+from .models.blocks import (
+    apply_resample_block,
+    apply_resample_block_vel,
+    apply_resnet_block,
+    apply_resnet_block_vel,
+)
+from .models.cores import NBodyEmulatorCore, NBodyEmulatorVelCore
+
+
+def _wrap_pad(x, pad, axes=(1, 2, 3)):
+    """Periodic pad of selected spatial axes of (B, D, H, W, C)."""
+    widths = [(0, 0)] * x.ndim
+    for ax, p in zip(axes, pad if isinstance(pad, (tuple, list)) else [pad] * len(axes)):
+        widths[ax] = (p, p)
+    return jnp.pad(x, widths, mode="wrap")
+
+
+@dataclass
+class HierarchicalConfig:
+    size: tuple[int, int, int]
+    slab: int = 32  # phase-1 D-slab thickness (even, divides size[0])
+    tile: tuple[int, int, int] = (128, 128, 128)  # phase-3 output tiles
+    dtype: jnp.dtype = jnp.bfloat16
+    output_dtype: np.dtype = np.float16
+    in_chan: int = 3
+
+    def __post_init__(self):
+        self.size = tuple(int(s) for s in self.size)
+        self.tile = tuple(int(t) for t in self.tile)
+        if self.size[0] % self.slab or self.slab % 2:
+            raise ValueError(f"slab {self.slab} must be even and divide D={self.size[0]}")
+        for s, t in zip(self.size, self.tile):
+            if s % t or t % 2:
+                raise ValueError(f"tile {self.tile} must be even and divide size {self.size}")
+        for s in self.size:
+            if s % 8:
+                raise ValueError(f"size {self.size} must be divisible by 8 (3 levels)")
+
+
+class HierarchicalProcessor:
+    """Overlap-minimal runtime for the premodulated 3-level models."""
+
+    def __init__(self, model, params, config: HierarchicalConfig):
+        if not isinstance(model, (NBodyEmulatorCore, NBodyEmulatorVelCore)):
+            raise TypeError(
+                "HierarchicalProcessor supports the premodulated models; "
+                "fold style first (modulate_emulator_parameters[_vel])."
+            )
+        if getattr(model, "levels", 3) != 3:
+            raise ValueError("hierarchical runtime implements the 3-level topology")
+        self.model = model
+        self.params = params
+        self.config = config
+        self.compute_vel = isinstance(model, NBodyEmulatorVelCore)
+
+        self._phase1 = jax.jit(self._phase1_slab)
+        self._phase2 = jax.jit(self._phase2_deep)
+        self._phase3 = jax.jit(self._phase3_tile)
+
+    # ------------------------------------------------------------------
+    # Phase 1: level-0 encoder on one D-slab -> level-1 rows
+    # ------------------------------------------------------------------
+
+    def _phase1_slab(self, params, slab):
+        """slab: (1, C, S+8, H+8, W+8) scaled input (wrap halos included).
+
+        Returns the down_l0 output rows (1, S/2, H/2, W/2, mid) (+ tangent).
+        """
+        p = params["params"]
+        if self.compute_vel:
+            h, dh = apply_resnet_block_vel(p["conv_l00"], slab, None, "CACA", in_fmt="NCDHW")
+            h, dh = apply_resnet_block_vel(p["conv_l01"], h, dh, "CACA")
+            return apply_resample_block_vel(p["down_l0"], h, dh, "DA")
+        h = apply_resnet_block(p["conv_l00"], slab, "CACA", in_fmt="NCDHW")
+        h = apply_resnet_block(p["conv_l01"], h, "CACA")
+        return apply_resample_block(p["down_l0"], h, "DA")
+
+    # ------------------------------------------------------------------
+    # Phase 2: monolithic periodic deep network (level 1 .. conv_r1)
+    # ------------------------------------------------------------------
+
+    def _phase2_deep(self, params, h1):
+        """h1: (1, N/2, N/2, N/2, mid) (+tangent tuple when vel)."""
+        p = params["params"]
+        vel = self.compute_vel
+
+        def resnet(name, x, pad=2):
+            if vel:
+                a, da = x
+                a = _wrap_pad(a, pad)
+                da = _wrap_pad(da, pad)
+                return apply_resnet_block_vel(p[name], a, da, "CACA")
+            return apply_resnet_block(p[name], _wrap_pad(x, pad), "CACA")
+
+        def down(name, x):
+            if vel:
+                return apply_resample_block_vel(p[name], x[0], x[1], "DA")
+            return apply_resample_block(p[name], x, "DA")
+
+        def up(name, x):
+            # periodic 2x upsample: wrap-pad 1, dilated conv, crop 2/side
+            if vel:
+                a, da = x
+                a, da = _wrap_pad(a, 1), _wrap_pad(da, 1)
+                a, da = apply_resample_block_vel(p[name], a, da, "UA")
+                return a[:, 2:-2, 2:-2, 2:-2], da[:, 2:-2, 2:-2, 2:-2]
+            a = apply_resample_block(p[name], _wrap_pad(x, 1), "UA")
+            return a[:, 2:-2, 2:-2, 2:-2]
+
+        def cat(a, b):
+            if vel:
+                return (
+                    jnp.concatenate([a[0], b[0]], -1),
+                    jnp.concatenate([a[1], b[1]], -1),
+                )
+            return jnp.concatenate([a, b], -1)
+
+        y1 = resnet("conv_l1", h1)
+        h = down("down_l1", y1)
+        y2 = resnet("conv_l2", h)
+        h = down("down_l2", y2)
+        h = resnet("conv_c", h)
+        h = up("up_r2", h)
+        h = resnet("conv_r2", cat(y2, h))
+        h = up("up_r1", h)
+        h = resnet("conv_r1", cat(y1, h))
+        return h  # (1, N/2, N/2, N/2, mid) (+ tangent)
+
+    # ------------------------------------------------------------------
+    # Phase 3: final decode of one tile
+    # ------------------------------------------------------------------
+
+    def _phase3_tile(self, params, box_tile, r1_tile, Dz, vel_fac):
+        """One output tile.
+
+        Args:
+            box_tile: (1, C, T+16, ., .) scaled input slice (halo 8/side).
+            r1_tile: level-1 slice (1, T/2+6, ..., mid) (+tangent) — halo 3.
+        Returns NCDHW displacement tile (and velocity tile).
+        """
+        p = params["params"]
+        vel = self.compute_vel
+        m = 8  # margin consumed from box_tile: (T+16) -> T
+        x0 = box_tile[:, :, m:-m, m:-m, m:-m]
+
+        # Recompute y0 over T+8 (4 conv halos from the T+16 input slice).
+        if vel:
+            y0, dy0 = apply_resnet_block_vel(p["conv_l00"], box_tile, None, "CACA", in_fmt="NCDHW")
+            y0, dy0 = apply_resnet_block_vel(p["conv_l01"], y0, dy0, "CACA")
+            r1, dr1 = r1_tile
+            u, du = apply_resample_block_vel(p["up_r0"], r1, dr1, "UA")
+            u, du = u[:, 2:-2, 2:-2, 2:-2], du[:, 2:-2, 2:-2, 2:-2]  # T+8
+            h = jnp.concatenate([y0, u], -1)
+            dh = jnp.concatenate([dy0, du], -1)
+            h, dh = apply_resnet_block_vel(p["conv_r00"], h, dh, "CACA")
+            h, dh = apply_resnet_block_vel(p["conv_r01"], h, dh, "CAC", out_fmt="NCDHW")
+            disp = (h + x0) * jnp.asarray(6.0, h.dtype)
+            vf = vel_fac.reshape((1,) * 5)
+            dz = Dz.reshape((1,) * 5)
+            velocity = dh * (vf * 6.0).astype(h.dtype) + x0 * (vf * 6.0 / dz).astype(h.dtype)
+            return disp, velocity
+        y0 = apply_resnet_block(p["conv_l00"], box_tile, "CACA", in_fmt="NCDHW")
+        y0 = apply_resnet_block(p["conv_l01"], y0, "CACA")
+        u = apply_resample_block(p["up_r0"], r1_tile, "UA")
+        u = u[:, 2:-2, 2:-2, 2:-2]
+        h = jnp.concatenate([y0, u], -1)
+        h = apply_resnet_block(p["conv_r00"], h, "CACA")
+        h = apply_resnet_block(p["conv_r01"], h, "CAC", out_fmt="NCDHW")
+        return (h + x0) * jnp.asarray(6.0, h.dtype)
+
+    # ------------------------------------------------------------------
+    # Driver
+    # ------------------------------------------------------------------
+
+    def process_box(self, input_box, z: float, Om: float, as_numpy: bool = True):
+        cfg = self.config
+        if tuple(input_box.shape) != (cfg.in_chan,) + cfg.size:
+            raise ValueError(f"box shape {input_box.shape} != {(cfg.in_chan,) + cfg.size}")
+        nd, nh, nw = cfg.size
+        Dz = jnp.atleast_1d(growth_factor(z, Om)).astype(jnp.float32)
+        vel_fac = (
+            jnp.atleast_1d(vel_norm(z, Om)).astype(jnp.float32)
+            if self.compute_vel
+            else jnp.zeros((1,))
+        )
+
+        # NCDHW scaled input (channel-first: C=3 must not sit in the 128-lane
+        # minor dim), wrap-padded by 8 (covers phase-1 halo 4 and phase-3
+        # halo 8).
+        box = jnp.asarray(input_box, cfg.dtype)[None]
+        box = box * (Dz.astype(cfg.dtype) / jnp.asarray(6.0, cfg.dtype))
+        boxp = _wrap_pad(box, 8, axes=(2, 3, 4))
+
+        # ---- Phase 1: build the level-1 volume slab by slab --------------
+        mid = self.model.mid_chan
+        h1 = jnp.zeros((1, nd // 2, nh // 2, nw // 2, mid), cfg.dtype)
+        dh1 = jnp.zeros_like(h1) if self.compute_vel else None
+        for d0 in range(0, nd, cfg.slab):
+            # slab rows [d0-4, d0+slab+4) of the unpadded grid = boxp rows
+            # [d0+4, d0+slab+12); H/W need halo 4 = boxp cols [4, n+12).
+            slab = jax.lax.dynamic_slice(
+                boxp,
+                (0, 0, d0 + 4, 4, 4),
+                (1, cfg.in_chan, cfg.slab + 8, nh + 8, nw + 8),
+            )
+            out = self._phase1(self.params, slab)
+            if self.compute_vel:
+                h1 = jax.lax.dynamic_update_slice(h1, out[0], (0, d0 // 2, 0, 0, 0))
+                dh1 = jax.lax.dynamic_update_slice(dh1, out[1], (0, d0 // 2, 0, 0, 0))
+            else:
+                h1 = jax.lax.dynamic_update_slice(h1, out, (0, d0 // 2, 0, 0, 0))
+
+        # ---- Phase 2: deep network, monolithic ---------------------------
+        r1 = self._phase2(self.params, (h1, dh1) if self.compute_vel else h1)
+
+        # Wrap-pad the phase-2 buffer once for tile slicing (halo 3).
+        if self.compute_vel:
+            r1p = (_wrap_pad(r1[0], 3), _wrap_pad(r1[1], 3))
+        else:
+            r1p = _wrap_pad(r1, 3)
+
+        # ---- Phase 3: final decode, tiled ---------------------------------
+        out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
+        dis = jnp.zeros((1, cfg.in_chan) + cfg.size, out_dtype)
+        vel = jnp.zeros_like(dis) if self.compute_vel else None
+        td, th, tw = cfg.tile
+        for a0 in range(0, nd, td):
+            for a1 in range(0, nh, th):
+                for a2 in range(0, nw, tw):
+                    box_tile = jax.lax.dynamic_slice(
+                        boxp,
+                        (0, 0, a0, a1, a2),
+                        (1, cfg.in_chan, td + 16, th + 16, tw + 16),
+                    )
+                    if self.compute_vel:
+                        r1_tile = tuple(
+                            jax.lax.dynamic_slice(
+                                r,
+                                (0, a0 // 2, a1 // 2, a2 // 2, 0),
+                                (1, td // 2 + 6, th // 2 + 6, tw // 2 + 6, mid),
+                            )
+                            for r in r1p
+                        )
+                    else:
+                        r1_tile = jax.lax.dynamic_slice(
+                            r1p,
+                            (0, a0 // 2, a1 // 2, a2 // 2, 0),
+                            (1, td // 2 + 6, th // 2 + 6, tw // 2 + 6, mid),
+                        )
+                    out = self._phase3(self.params, box_tile, r1_tile, Dz, vel_fac)
+                    if self.compute_vel:
+                        d_t, v_t = out
+                        dis = jax.lax.dynamic_update_slice(
+                            dis, d_t.astype(out_dtype), (0, 0, a0, a1, a2)
+                        )
+                        vel = jax.lax.dynamic_update_slice(
+                            vel, v_t.astype(out_dtype), (0, 0, a0, a1, a2)
+                        )
+                    else:
+                        dis = jax.lax.dynamic_update_slice(
+                            dis, out.astype(out_dtype), (0, 0, a0, a1, a2)
+                        )
+
+        def fin(t):
+            return np.asarray(t[0]) if as_numpy else t[0]
+
+        if self.compute_vel:
+            return fin(dis), fin(vel)
+        return fin(dis)

@@ -41,11 +41,26 @@ _KIND = {
 }
 
 
-def _run_conv(x, w, kind):
+def _run_conv(x, w, kind, in_fmt="NDHWC", out_fmt="NDHWC"):
     k = _KIND[kind]
     if k["up"]:
-        return conv3d_up(x, w)
-    return conv3d(x, w, stride=k["stride"])
+        return conv3d_up(x, w, in_fmt=in_fmt, out_fmt=out_fmt)
+    return conv3d(x, w, stride=k["stride"], in_fmt=in_fmt, out_fmt=out_fmt)
+
+
+def _chan_axis(fmt: str) -> int:
+    return 1 if fmt == "NCDHW" else 4
+
+
+def _bcast_channels(v, fmt: str):
+    """(B?, C) or (C,) vector -> broadcastable against a 5-D tensor."""
+    if fmt == "NCDHW":
+        if v.ndim == 1:
+            return v[None, :, None, None, None]
+        return v[:, :, None, None, None]
+    if v.ndim == 1:
+        return v[None, None, None, None, :]
+    return v[:, None, None, None, :]
 
 
 # ---------------------------------------------------------------------------
@@ -79,24 +94,24 @@ def init_conv_layer(key, cin, cout, kind, *, style: bool, vel: bool, style_size:
 # ---------------------------------------------------------------------------
 
 
-def apply_conv_layer(p, x, kind, *, s=None, eps: float = 1e-8):
+def apply_conv_layer(p, x, kind, *, s=None, eps: float = 1e-8, in_fmt="NDHWC", out_fmt="NDHWC"):
     """One conv layer, primal only.  Styled iff ``s`` is given.
 
-    x: (B, D, H, W, Cin) in the compute dtype; returns the same dtype.
+    x: 5-D activations in ``in_fmt``, compute dtype; returns ``out_fmt``.
     """
     out_dtype = x.dtype
     bias = p["bias"].astype(jnp.float32)
     if s is not None:
         m, norm = style_modulation(p, s, eps)  # (B,Ci), (B,Co) fp32
-        u = x * m[:, None, None, None, :].astype(x.dtype)
-        z = _run_conv(u, p["weight"], kind)  # fp32 accum
-        z = z / norm[:, None, None, None, :] + bias
+        u = x * _bcast_channels(m, in_fmt).astype(x.dtype)
+        z = _run_conv(u, p["weight"], kind, in_fmt, out_fmt)
+        z = z / _bcast_channels(norm, out_fmt) + _bcast_channels(bias, out_fmt)
     else:
-        z = _run_conv(x, p["weight"], kind) + bias
+        z = _run_conv(x, p["weight"], kind, in_fmt, out_fmt) + _bcast_channels(bias, out_fmt)
     return z.astype(out_dtype)
 
 
-def apply_conv_layer_vel(p, x, dx, kind):
+def apply_conv_layer_vel(p, x, dx, kind, *, in_fmt="NDHWC", out_fmt="NDHWC"):
     """Premodulated-vel conv layer: (y, dy) with baked ``weight``/``dweight``.
 
     y  = conv(x, W) + b
@@ -106,15 +121,15 @@ def apply_conv_layer_vel(p, x, dx, kind):
     w/Dz term (see ``ops.style.premodulate_layer``), so dy = conv(x, dW).
     """
     out_dtype = x.dtype
-    bias = p["bias"].astype(jnp.float32)
+    bias = _bcast_channels(p["bias"].astype(jnp.float32), out_fmt)
     w, dw = p["weight"], p["dweight"]
-    y = _run_conv(x, w, kind) + bias
+    y = _run_conv(x, w, kind, in_fmt, out_fmt) + bias
     if dx is None:
-        dy = _run_conv(x, dw, kind)
+        dy = _run_conv(x, dw, kind, in_fmt, out_fmt)
     else:
-        xx = jnp.concatenate([x, dx], axis=-1)
+        xx = jnp.concatenate([x, dx], axis=_chan_axis(in_fmt))
         ww = jnp.concatenate([dw, w], axis=3)
-        dy = _run_conv(xx, ww, kind)
+        dy = _run_conv(xx, ww, kind, in_fmt, out_fmt)
     return y.astype(out_dtype), dy.astype(out_dtype)
 
 
@@ -156,30 +171,47 @@ def init_resample_block(key, seq, cin, cout, *, style: bool, vel: bool, style_si
     }
 
 
-def _center_crop(t, spatial):
-    """Symmetric center crop of (B, D, H, W, C) to the given spatial size."""
-    slices = [slice(None)]
-    for dim, target in zip(t.shape[1:4], spatial):
+def _spatial_axes(fmt: str):
+    return (2, 3, 4) if fmt == "NCDHW" else (1, 2, 3)
+
+
+def _center_crop(t, spatial, fmt: str = "NDHWC"):
+    """Symmetric center crop of the spatial dims to the given size."""
+    axes = _spatial_axes(fmt)
+    slices = [slice(None)] * 5
+    for ax, target in zip(axes, spatial):
+        dim = t.shape[ax]
         c = dim - target
         if c < 0 or c % 2:
-            raise ValueError(f"cannot center-crop {t.shape[1:4]} to {spatial}")
-        slices.append(slice(c // 2, dim - c // 2) if c else slice(None))
-    slices.append(slice(None))
+            raise ValueError(f"cannot center-crop {t.shape} to {spatial}")
+        if c:
+            slices[ax] = slice(c // 2, dim - c // 2)
     return t[tuple(slices)]
 
 
-def apply_resnet_block(p, x, seq, *, s=None, eps: float = 1e-8):
-    """Primal ResNet block (plain or styled)."""
+def apply_resnet_block(p, x, seq, *, s=None, eps: float = 1e-8, in_fmt="NDHWC", out_fmt="NDHWC"):
+    """Primal ResNet block (plain or styled).
+
+    ``in_fmt``/``out_fmt`` control the boundary activation formats: the first
+    conv (and skip) consume ``in_fmt``, the last conv (and skip) produce
+    ``out_fmt``; interior activations stay channels-last.  Few-channel
+    boundary tensors (C=3 I/O) should be NCDHW to avoid 128-lane padding.
+    """
     main_seq, num_conv, _ = _resnet_channel_plan(seq, 0, 0)
     last_act = seq.endswith("A") and main_seq != seq
-    y = apply_conv_layer(p["skip"], x, "skip", s=s, eps=eps)
+    y = apply_conv_layer(p["skip"], x, "skip", s=s, eps=eps, in_fmt=in_fmt, out_fmt=out_fmt)
     if num_conv > 0:
-        target = tuple(d - 2 * num_conv for d in y.shape[1:4])
-        y = _center_crop(y, target)
+        sp = _spatial_axes(out_fmt)
+        target = tuple(y.shape[ax] - 2 * num_conv for ax in sp)
+        y = _center_crop(y, target, out_fmt)
     conv_idx = 0
     for op in main_seq:
         if op == "C":
-            x = apply_conv_layer(p[f"conv_{conv_idx}"], x, "conv", s=s, eps=eps)
+            fi = in_fmt if conv_idx == 0 else "NDHWC"
+            fo = out_fmt if conv_idx == num_conv - 1 else "NDHWC"
+            x = apply_conv_layer(
+                p[f"conv_{conv_idx}"], x, "conv", s=s, eps=eps, in_fmt=fi, out_fmt=fo
+            )
             conv_idx += 1
         elif op == "A":
             x = leaky_relu(x)
@@ -191,20 +223,25 @@ def apply_resnet_block(p, x, seq, *, s=None, eps: float = 1e-8):
     return x
 
 
-def apply_resnet_block_vel(p, x, dx, seq):
+def apply_resnet_block_vel(p, x, dx, seq, *, in_fmt="NDHWC", out_fmt="NDHWC"):
     """Premod-vel ResNet block threading (x, dx).  ``dx=None`` marks the
     model's first block (first-layer tangent rule baked into dweight)."""
     main_seq, num_conv, _ = _resnet_channel_plan(seq, 0, 0)
     last_act = seq.endswith("A") and main_seq != seq
-    y, dy = apply_conv_layer_vel(p["skip"], x, dx, "skip")
+    y, dy = apply_conv_layer_vel(p["skip"], x, dx, "skip", in_fmt=in_fmt, out_fmt=out_fmt)
     if num_conv > 0:
-        target = tuple(d - 2 * num_conv for d in y.shape[1:4])
-        y = _center_crop(y, target)
-        dy = _center_crop(dy, target)
+        sp = _spatial_axes(out_fmt)
+        target = tuple(y.shape[ax] - 2 * num_conv for ax in sp)
+        y = _center_crop(y, target, out_fmt)
+        dy = _center_crop(dy, target, out_fmt)
     conv_idx = 0
     for op in main_seq:
         if op == "C":
-            x, dx = apply_conv_layer_vel(p[f"conv_{conv_idx}"], x, dx, "conv")
+            fi = in_fmt if conv_idx == 0 else "NDHWC"
+            fo = out_fmt if conv_idx == num_conv - 1 else "NDHWC"
+            x, dx = apply_conv_layer_vel(
+                p[f"conv_{conv_idx}"], x, dx, "conv", in_fmt=fi, out_fmt=fo
+            )
             conv_idx += 1
         elif op == "A":
             x, dx = leaky_relu_with_tangent(x, dx)
@@ -218,7 +255,7 @@ def apply_resnet_block_vel(p, x, dx, seq):
 
 
 def apply_resample_block(p, x, seq, *, s=None, eps: float = 1e-8):
-    """Primal resample block: 'DA' (down) or 'UA' (up)."""
+    """Primal resample block: 'DA' (down) or 'UA' (up); channels-last."""
     conv_idx = 0
     for op in seq:
         if op in ("D", "U"):

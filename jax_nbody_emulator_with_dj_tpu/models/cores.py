@@ -16,20 +16,23 @@ param pytrees.
 
 TPU-native deltas from the reference:
 
-  * Public I/O layout stays ``(B, C, D, H, W)`` (``data_format='NCDHW'``,
-    drop-in compatible); internally everything is channels-last so convs hit
-    the MXU with batch-shared weights.
-  * The velocity path of the *style* model is computed with ``jax.jvp`` of the
-    primal displacement model w.r.t. Dz.  This is mathematically identical to
-    the reference's hand-threaded tangents — the style tangent ``ds = e1``
-    (s1 = Dz-1), the modulation-demodulation product rule, the first-layer
-    ``w/Dz`` rule (input pre-scaled by Dz/6), and the velocity head
-    ``vel = vel_fac * d(disp)/dDz`` all fall out of the chain rule — but costs
-    2 convolutions per layer instead of the reference's 3
-    (``style_layers_vel.py:107-141``), because weights are batch-shared here.
+  * I/O tensors stay NCDHW end-to-end: TPU layouts pad the minor (lane)
+    dimension to 128, so a channels-last C=3 tensor would occupy ~42x its
+    logical HBM size.  The boundary convolutions consume/produce NCDHW via
+    mixed ``dimension_numbers``; all interior (64/128-channel) activations
+    are channels-last so convs hit the MXU with batch-shared weights.
+  * Style modulation is applied as input/output channel scalings around ONE
+    batch-shared conv (exact identity — see ``ops/style.py``); no per-sample
+    weight materialization.
+  * The velocity path of the *style* model is computed with ``jax.jvp`` of
+    the primal displacement model w.r.t. Dz — mathematically identical to
+    the reference's hand-threaded tangents (style tangent ds = e1, the
+    modulation-demodulation product rule, the first-layer w/Dz rule, and the
+    velocity head ``vel = vel_fac * d(disp)/dDz`` all fall out of the chain
+    rule) at 2 convolutions per layer instead of 3.
   * The *premodulated* velocity model keeps manual tangent threading (its
-    ``dweight`` is an independent baked parameter) with the two convs fused
-    into one over channel-concatenated inputs.
+    ``dweight`` is an independent baked parameter) with the two tangent
+    convs fused into one over channel-concatenated inputs.
 """
 
 from __future__ import annotations
@@ -43,22 +46,8 @@ from ..ops.style import style_vector
 from .unet import init_unet, input_margin, unet_forward, unet_forward_vel
 
 
-def _to_channels_last(x):
-    """(B,C,D,H,W) or (C,D,H,W) -> (B,D,H,W,C), plus a restore function."""
-    unbatched = x.ndim == 4
-    if unbatched:
-        x = x[None]
-    x = jnp.moveaxis(x, 1, -1)
-
-    def restore(y):
-        y = jnp.moveaxis(y, -1, 1)
-        return y[0] if unbatched else y
-
-    return x, restore, unbatched
-
-
 def _bcast(v, ndim: int = 5):
-    """(B,) -> (B, 1, 1, 1, 1) for broadcasting against (B,D,H,W,C)."""
+    """(B,) -> (B, 1, 1, 1, 1) for broadcasting against 5-D activations."""
     v = jnp.atleast_1d(jnp.asarray(v))
     return v.reshape(v.shape + (1,) * (ndim - v.ndim))
 
@@ -96,28 +85,33 @@ class _CoreBase:
         )
 
     def _prep(self, x):
-        if self.data_format == "NCDHW":
-            return _to_channels_last(x)
         unbatched = x.ndim == 4
         if unbatched:
             x = x[None]
-        return x, (lambda y: y[0] if unbatched else y), unbatched
+        return x, (lambda y: y[0] if unbatched else y)
+
+    def _margin_crop(self, x):
+        m = self.margin
+        if self.data_format == "NCDHW":
+            return x[:, :, m:-m, m:-m, m:-m]
+        return x[:, m:-m, m:-m, m:-m, :]
 
     def __call__(self, params, *args, **kw):
         return self.apply(params, *args, **kw)
 
     # --- shared forward pieces -------------------------------------------
 
-    def _disp_forward_cl(self, params, x_cl, Dz, s):
-        """Channels-last displacement forward: scale -> U-Net -> residual head.
+    def _disp_forward(self, params, x, Dz, s):
+        """Displacement forward: scale -> U-Net -> residual head.
 
         Reference head: x0 = (x*Dz/6)[margin crop]; disp = (net(x) + x0) * 6.
         """
-        in_norm = _bcast(Dz).astype(x_cl.dtype) / jnp.asarray(6.0, x_cl.dtype)
-        x_cl = x_cl * in_norm
-        m = self.margin
-        x0 = x_cl[:, m:-m, m:-m, m:-m, :]
-        h = unet_forward(params, x_cl, s=s, levels=self.levels, eps=self.eps)
+        in_norm = _bcast(Dz).astype(x.dtype) / jnp.asarray(6.0, x.dtype)
+        x = x * in_norm
+        x0 = self._margin_crop(x)
+        h = unet_forward(
+            params, x, s=s, levels=self.levels, eps=self.eps, io_fmt=self.data_format
+        )
         return (h + x0) * jnp.asarray(6.0, h.dtype)
 
 
@@ -131,10 +125,9 @@ class StyleNBodyEmulatorCore(_CoreBase):
     def apply(self, params, x, Om, Dz):
         Om = jnp.atleast_1d(Om)
         Dz = jnp.atleast_1d(Dz)
-        x_cl, restore, _ = self._prep(x)
+        x, restore = self._prep(x)
         s = style_vector(Om, Dz)
-        disp = self._disp_forward_cl(params, x_cl, Dz, s)
-        return restore(disp)
+        return restore(self._disp_forward(params, x, Dz, s))
 
 
 @dataclass(frozen=True)
@@ -155,11 +148,11 @@ class StyleNBodyEmulatorVelCore(_CoreBase):
         if not jnp.issubdtype(Dz.dtype, jnp.floating):
             Dz = Dz.astype(jnp.float32)
         vel_fac = jnp.atleast_1d(vel_fac)
-        x_cl, restore, _ = self._prep(x)
+        x, restore = self._prep(x)
 
         def disp_of(Dz_):
             s = style_vector(Om, Dz_)
-            return self._disp_forward_cl(params, x_cl, Dz_, s)
+            return self._disp_forward(params, x, Dz_, s)
 
         disp, ddisp = jax.jvp(disp_of, (Dz,), (jnp.ones_like(Dz),))
         vel = ddisp * _bcast(vel_fac).astype(ddisp.dtype)
@@ -175,9 +168,8 @@ class NBodyEmulatorCore(_CoreBase):
 
     def apply(self, params, x, Dz):
         Dz = jnp.atleast_1d(Dz)
-        x_cl, restore, _ = self._prep(x)
-        disp = self._disp_forward_cl(params, x_cl, Dz, None)
-        return restore(disp)
+        x, restore = self._prep(x)
+        return restore(self._disp_forward(params, x, Dz, None))
 
 
 @dataclass(frozen=True)
@@ -196,16 +188,14 @@ class NBodyEmulatorVelCore(_CoreBase):
     def apply(self, params, x, Dz, vel_fac):
         Dz = jnp.atleast_1d(Dz)
         vel_fac = jnp.atleast_1d(vel_fac)
-        x_cl, restore, _ = self._prep(x)
+        x, restore = self._prep(x)
 
-        in_norm = _bcast(Dz).astype(x_cl.dtype) / jnp.asarray(6.0, x_cl.dtype)
-        x_cl = x_cl * in_norm
-        m = self.margin
-        x0 = x_cl[:, m:-m, m:-m, m:-m, :]
-        h, dh = unet_forward_vel(params, x_cl, levels=self.levels)
+        in_norm = _bcast(Dz).astype(x.dtype) / jnp.asarray(6.0, x.dtype)
+        x = x * in_norm
+        x0 = self._margin_crop(x)
+        h, dh = unet_forward_vel(params, x, levels=self.levels, io_fmt=self.data_format)
 
-        six = jnp.asarray(6.0, h.dtype)
-        disp = (h + x0) * six
+        disp = (h + x0) * jnp.asarray(6.0, h.dtype)
         dx_norm = (_bcast(vel_fac) * 6.0).astype(h.dtype)
         x0_norm = (_bcast(vel_fac) * 6.0 / _bcast(Dz)).astype(h.dtype)
         vel = dh * dx_norm + x0 * x0_norm

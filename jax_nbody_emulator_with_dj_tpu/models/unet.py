@@ -145,17 +145,19 @@ def init_unet(key, *, levels=3, in_chan=3, out_chan=3, mid_chan=64, style: bool,
 # ---------------------------------------------------------------------------
 
 
-def unet_forward(params, x, *, s=None, levels: int = 3, eps: float = 1e-8):
+def unet_forward(params, x, *, s=None, levels: int = 3, eps: float = 1e-8, io_fmt: str = "NCDHW"):
     """Primal U-Net forward.  Styled iff ``s (B, style_size)`` is given.
 
     Args:
-        x: (B, D, H, W, C) in the compute dtype, already input-scaled.
+        x: 5-D input in ``io_fmt`` (default NCDHW — few-channel boundary
+            tensors must be channel-first on TPU to avoid lane padding),
+            compute dtype, already input-scaled.
     Returns:
-        (B, D', H', W', out_chan) network output (pre-residual-head).
+        network output (pre-residual-head) in ``io_fmt``.
     """
     p = params["params"]
     kw = dict(s=s, eps=eps)
-    h = apply_resnet_block(p["conv_l00"], x, "CACA", **kw)
+    h = apply_resnet_block(p["conv_l00"], x, "CACA", in_fmt=io_fmt, **kw)
     h = apply_resnet_block(p["conv_l01"], h, "CACA", **kw)
     skips = [h]
     h = apply_resample_block(p["down_l0"], h, "DA", **kw)
@@ -173,19 +175,19 @@ def unet_forward(params, x, *, s=None, levels: int = 3, eps: float = 1e-8):
     y = _center_crop(skips[0], h.shape[1:4])
     h = jnp.concatenate([y, h], axis=-1)
     h = apply_resnet_block(p["conv_r00"], h, "CACA", **kw)
-    h = apply_resnet_block(p["conv_r01"], h, "CAC", **kw)
+    h = apply_resnet_block(p["conv_r01"], h, "CAC", out_fmt=io_fmt, **kw)
     return h
 
 
-def unet_forward_vel(params, x, *, levels: int = 3):
+def unet_forward_vel(params, x, *, levels: int = 3, io_fmt: str = "NCDHW"):
     """Premodulated-vel U-Net forward: threads (x, dx) with baked dweights.
 
     The model-level tangent seed is ``dx=None`` into the first block
     (conv_l00), whose folded dweight carries the first-layer w/Dz rule.
-    Returns ``(h, dh)``.
+    Returns ``(h, dh)`` in ``io_fmt``.
     """
     p = params["params"]
-    h, dh = apply_resnet_block_vel(p["conv_l00"], x, None, "CACA")
+    h, dh = apply_resnet_block_vel(p["conv_l00"], x, None, "CACA", in_fmt=io_fmt)
     h, dh = apply_resnet_block_vel(p["conv_l01"], h, dh, "CACA")
     skips = [(h, dh)]
     h, dh = apply_resample_block_vel(p["down_l0"], h, dh, "DA")
@@ -209,5 +211,5 @@ def unet_forward_vel(params, x, *, levels: int = 3):
     h = jnp.concatenate([y, h], axis=-1)
     dh = jnp.concatenate([dy, dh], axis=-1)
     h, dh = apply_resnet_block_vel(p["conv_r00"], h, dh, "CACA")
-    h, dh = apply_resnet_block_vel(p["conv_r01"], h, dh, "CAC")
+    h, dh = apply_resnet_block_vel(p["conv_r01"], h, dh, "CAC", out_fmt=io_fmt)
     return h, dh

@@ -32,29 +32,33 @@ def _accum(x, accum_dtype):
     return jnp.promote_types(x.dtype, accum_dtype)
 
 
-def conv3d(x, w, *, stride: int = 1, accum_dtype=None):
-    """VALID 3D convolution, channels-last.
+def conv3d(x, w, *, stride: int = 1, accum_dtype=None, in_fmt: str = "NDHWC", out_fmt: str = "NDHWC"):
+    """VALID 3D convolution; channels-last internally, mixed boundary formats.
+
+    TPU memory layouts pad the minor (lane) dimension to 128, so a
+    channels-last tensor with C=3 occupies ~42x its logical size in HBM.
+    The few-channel boundary tensors (the displacement inputs/outputs)
+    therefore stay NCDHW and the conv consumes/produces them directly via
+    mixed ``dimension_numbers`` — no materialized relayout.
 
     Args:
-        x: ``(B, D, H, W, Cin)`` activations (any float dtype).
+        x: activations in ``in_fmt`` ('NDHWC' or 'NCDHW').
         w: ``(K, K, K, Cin, Cout)`` kernel; cast to ``x.dtype`` for the MXU.
         stride: isotropic spatial stride.
         accum_dtype: output buffer dtype (default: ``x.dtype``).
-
-    Returns:
-        ``(B, D', H', W', Cout)``.
+        in_fmt / out_fmt: activation formats at the conv boundary.
     """
     return lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride,) * 3,
         padding="VALID",
-        dimension_numbers=CONV_DIMENSION_NUMBERS,
+        dimension_numbers=(in_fmt, "DHWIO", out_fmt),
         preferred_element_type=_accum(x, accum_dtype),
     )
 
 
-def conv3d_up(x, w, *, accum_dtype=None):
+def conv3d_up(x, w, *, accum_dtype=None, in_fmt: str = "NDHWC", out_fmt: str = "NDHWC"):
     """2x upsampling convolution via input (lhs) dilation.
 
     Matches the reference semantics (``layers.py:107-117``): kernel size 2,
@@ -67,7 +71,7 @@ def conv3d_up(x, w, *, accum_dtype=None):
         window_strides=(1, 1, 1),
         padding=((1, 1),) * 3,
         lhs_dilation=(2, 2, 2),
-        dimension_numbers=CONV_DIMENSION_NUMBERS,
+        dimension_numbers=(in_fmt, "DHWIO", out_fmt),
         preferred_element_type=_accum(x, accum_dtype),
     )
 

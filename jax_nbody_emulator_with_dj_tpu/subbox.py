@@ -97,7 +97,19 @@ class SubboxProcessor:
     mirroring the reference's dispatch (``subbox.py:124-137``).
     """
 
-    def __init__(self, model, params, config: SubboxConfig):
+    def __init__(self, model, params, config: SubboxConfig, loop: str = "python"):
+        """Args:
+            loop: 'python' (default) dispatches one jitted tile program per
+                subbox from the host — all data stays on device, outputs are
+                donated and updated in place, and dispatch is async so tiles
+                pipeline; 'fused' traces the whole decomposition into a
+                single XLA while-loop program (fewer dispatches, but XLA's
+                loop-level layout/memory choices measure ~2x slower on large
+                boxes).
+        """
+        if loop not in ("python", "fused"):
+            raise ValueError(f"loop must be 'python' or 'fused', got {loop!r}")
+        self.loop = loop
         self.model = model
         self.params = params
         self.config = config
@@ -113,8 +125,59 @@ class SubboxProcessor:
                         f"padding {config.padding} must equal the model's "
                         f"receptive margin {margin} per side"
                     )
-        # Bound method: ``self`` is closed over (static), array args traced.
+        # Bound methods: ``self`` is closed over (static), array args traced.
         self._jit = jax.jit(self._process_device)
+        self._pad_jit = jax.jit(self._pad_box)
+        self._tile_jit = jax.jit(self._tile_forward)
+        # Donated output buffers -> true in-place scatter per tile.
+        self._scatter_jit = jax.jit(self._scatter_tile, donate_argnums=(0,))
+
+    # ---- python-loop strategy pieces --------------------------------------
+
+    def _pad_box(self, box):
+        pad = [(0, 0)] + [list(p) for p in self.config.padding]
+        return jnp.pad(box, pad, mode="wrap")
+
+    def _tile_forward(self, params, box_padded, anchor, Om, Dz, vel_fac):
+        cfg = self.config
+        start = (jnp.int32(0), anchor[0], anchor[1], anchor[2])
+        crop = jax.lax.dynamic_slice(
+            box_padded, start, (cfg.in_chan,) + cfg.crop_extent
+        )
+        x = crop[None].astype(cfg.dtype)
+        out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
+        if self.premodulate:
+            result = (
+                self.model.apply(params, x, Dz, vel_fac)
+                if self.compute_vel
+                else (self.model.apply(params, x, Dz),)
+            )
+        else:
+            result = (
+                self.model.apply(params, x, Om, Dz, vel_fac)
+                if self.compute_vel
+                else (self.model.apply(params, x, Om, Dz),)
+            )
+        return tuple(r[0].astype(out_dtype) for r in result)
+
+    def _scatter_tile(self, out, tile, anchor):
+        start = (jnp.int32(0), anchor[0], anchor[1], anchor[2])
+        return jax.lax.dynamic_update_slice(out, tile, start)
+
+    def _process_python(self, params, box, Om, Dz, vel_fac):
+        cfg = self.config
+        box_padded = self._pad_jit(box)
+        out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
+        out_shape = (cfg.in_chan,) + cfg.size
+        outs = [jnp.zeros(out_shape, out_dtype)]
+        if self.compute_vel:
+            outs.append(jnp.zeros(out_shape, out_dtype))
+        anchors = jnp.asarray(cfg.anchors)
+        for idx in range(cfg.n_subboxes):
+            a = anchors[idx]
+            tiles = self._tile_jit(params, box_padded, a, Om, Dz, vel_fac)
+            outs = [self._scatter_jit(o, t, a) for o, t in zip(outs, tiles)]
+        return tuple(outs) if self.compute_vel else outs[0]
 
     # The whole decomposition as one jittable function.
     def _process_device(self, params, box, Om, Dz, vel_fac):
@@ -192,7 +255,10 @@ class SubboxProcessor:
         Om_arr = jnp.atleast_1d(jnp.asarray(Om, jnp.float32))
 
         box = jnp.asarray(input_box, dtype=cfg.dtype)
-        result = self._jit(self.params, box, Om_arr, Dz, vel_fac)
+        if self.loop == "python":
+            result = self._process_python(self.params, box, Om_arr, Dz, vel_fac)
+        else:
+            result = self._jit(self.params, box, Om_arr, Dz, vel_fac)
         if as_numpy:
             result = jax.tree.map(lambda t: np.asarray(t), result)
         return result

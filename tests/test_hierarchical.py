@@ -1,0 +1,101 @@
+"""Hierarchical runtime must reproduce the subbox runtime exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax_nbody_emulator_with_dj_tpu import (
+    NBodyEmulatorCore,
+    NBodyEmulatorVelCore,
+    StyleNBodyEmulatorVelCore,
+    SubboxConfig,
+    SubboxProcessor,
+)
+from jax_nbody_emulator_with_dj_tpu.emulator import (
+    modulate_emulator_parameters,
+    modulate_emulator_parameters_vel,
+)
+from jax_nbody_emulator_with_dj_tpu.hierarchical import (
+    HierarchicalConfig,
+    HierarchicalProcessor,
+)
+
+KEY = jax.random.key(17)
+MID = 4
+N = 16  # tiny box; tiles 8^3, slab 4
+
+
+@pytest.fixture(scope="module")
+def style_params():
+    return StyleNBodyEmulatorVelCore(mid_chan=MID).init(KEY)
+
+
+@pytest.fixture(scope="module")
+def box():
+    return np.asarray(jax.random.normal(KEY, (3, N, N, N), jnp.float32))
+
+
+@pytest.fixture(scope="module")
+def subbox_reference(style_params, box):
+    params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+    model = NBodyEmulatorCore(mid_chan=MID)
+    cfg = SubboxConfig(size=(N,) * 3, ndiv=(2, 2, 2), dtype=jnp.float32)
+    return SubboxProcessor(model, params, cfg).process_box(box, 0.5, 0.3175)
+
+
+class TestHierarchicalDisp:
+    def test_matches_subbox(self, style_params, box, subbox_reference):
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=MID)
+        cfg = HierarchicalConfig(
+            size=(N,) * 3, slab=8, tile=(8, 8, 8),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        proc = HierarchicalProcessor(model, params, cfg)
+        out = proc.process_box(box, 0.5, 0.3175)
+        assert out.shape == (3, N, N, N)
+        np.testing.assert_allclose(out, subbox_reference, rtol=2e-4, atol=2e-5)
+
+    def test_slab_and_tile_invariance(self, style_params, box):
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=MID)
+        outs = []
+        for slab, tile in [(4, (8, 8, 8)), (16, (16, 16, 8))]:
+            cfg = HierarchicalConfig(
+                size=(N,) * 3, slab=slab, tile=tile,
+                dtype=jnp.float32, output_dtype=np.float32,
+            )
+            outs.append(HierarchicalProcessor(model, params, cfg).process_box(box, 0.5, 0.3175))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+
+
+class TestHierarchicalVel:
+    def test_matches_subbox_vel(self, style_params, box):
+        params = modulate_emulator_parameters_vel(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorVelCore(mid_chan=MID)
+        scfg = SubboxConfig(size=(N,) * 3, ndiv=(2, 2, 2), dtype=jnp.float32)
+        d_ref, v_ref = SubboxProcessor(model, params, scfg).process_box(box, 0.5, 0.3175)
+        cfg = HierarchicalConfig(
+            size=(N,) * 3, slab=8, tile=(8, 8, 8),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        d, v = HierarchicalProcessor(model, params, cfg).process_box(box, 0.5, 0.3175)
+        np.testing.assert_allclose(d, d_ref, rtol=2e-4, atol=2e-5)
+        scale = np.abs(v_ref).max()
+        np.testing.assert_allclose(v / scale, v_ref / scale, rtol=2e-4, atol=2e-4)
+
+
+class TestValidation:
+    def test_requires_premodulated(self, style_params):
+        cfg = HierarchicalConfig(size=(N,) * 3, slab=8, tile=(8, 8, 8))
+        with pytest.raises(TypeError):
+            HierarchicalProcessor(StyleNBodyEmulatorVelCore(mid_chan=MID), style_params, cfg)
+
+    def test_geometry_validation(self):
+        with pytest.raises(ValueError):
+            HierarchicalConfig(size=(16, 16, 16), slab=3)
+        with pytest.raises(ValueError):
+            HierarchicalConfig(size=(16, 16, 16), slab=8, tile=(5, 8, 8))
+        with pytest.raises(ValueError):
+            HierarchicalConfig(size=(12, 12, 12), slab=4, tile=(4, 4, 4))
