@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from .cosmology import growth_factor, vel_norm
 from .models.blocks import (
+    _center_crop,
     apply_resample_block,
     apply_resample_block_vel,
     apply_resnet_block,
@@ -57,6 +58,7 @@ class HierarchicalConfig:
     size: tuple[int, int, int]
     slab: int = 32  # phase-1 D-slab thickness (even, divides size[0])
     tile: tuple[int, int, int] = (128, 128, 128)  # phase-3 output tiles
+    tile1: int | None = None  # phase-2 level-1 tile (default min(64, N/2))
     dtype: jnp.dtype = jnp.bfloat16
     output_dtype: np.dtype = np.float16
     in_chan: int = 3
@@ -72,6 +74,12 @@ class HierarchicalConfig:
         for s in self.size:
             if s % 8:
                 raise ValueError(f"size {self.size} must be divisible by 8 (3 levels)")
+        if self.tile1 is None:
+            self.tile1 = min(64, min(self.size) // 2)
+        if self.tile1 % 4 or any((s // 2) % self.tile1 for s in self.size):
+            raise ValueError(
+                f"tile1 {self.tile1} must be a multiple of 4 dividing size/2"
+            )
 
 
 class HierarchicalProcessor:
@@ -91,7 +99,7 @@ class HierarchicalProcessor:
         self.compute_vel = isinstance(model, NBodyEmulatorVelCore)
 
         self._phase1 = jax.jit(self._phase1_slab)
-        self._phase2 = jax.jit(self._phase2_deep)
+        self._phase2 = jax.jit(self._phase2_tile)
         self._phase3 = jax.jit(self._phase3_tile)
 
     # ------------------------------------------------------------------
@@ -113,36 +121,40 @@ class HierarchicalProcessor:
         return apply_resample_block(p["down_l0"], h, "DA")
 
     # ------------------------------------------------------------------
-    # Phase 2: monolithic periodic deep network (level 1 .. conv_r1)
+    # Phase 2: deep network (level 1 .. conv_r1), tiled at level 1
     # ------------------------------------------------------------------
+    #
+    # The deep stack from conv_l1 through conv_r1 has a 20-voxel receptive
+    # margin at level-1 resolution.  We use 22 (the subbox runtime's level-1
+    # offset, 48 -> 44/2) so the stride-2 grids stay even-aligned with the
+    # global grids at every level, and crop the extra 2/side at the end.
+    # The deep stack holds ~10% of the network FLOPs, so tiling it with this
+    # margin costs little while bounding memory to one (M+44)^3 x 64ch set.
+    PHASE2_MARGIN = 22
 
-    def _phase2_deep(self, params, h1):
-        """h1: (1, N/2, N/2, N/2, mid) (+tangent tuple when vel)."""
+    def _phase2_tile(self, params, t):
+        """t: (1, M+44, M+44, M+44, mid) level-1 slice (+tangent when vel).
+
+        Returns the conv_r1 output tile (1, M, M, M, mid) (+tangent).
+        """
         p = params["params"]
         vel = self.compute_vel
 
-        def resnet(name, x, pad=2):
+        def crop_like(y, h):
+            target = h[0].shape[1:4] if vel else h.shape[1:4]
             if vel:
-                a, da = x
-                a = _wrap_pad(a, pad)
-                da = _wrap_pad(da, pad)
-                return apply_resnet_block_vel(p[name], a, da, "CACA")
-            return apply_resnet_block(p[name], _wrap_pad(x, pad), "CACA")
+                return (_center_crop(y[0], target), _center_crop(y[1], target))
+            return _center_crop(y, target)
 
-        def down(name, x):
+        def resnet(name, x):
             if vel:
-                return apply_resample_block_vel(p[name], x[0], x[1], "DA")
-            return apply_resample_block(p[name], x, "DA")
+                return apply_resnet_block_vel(p[name], x[0], x[1], "CACA")
+            return apply_resnet_block(p[name], x, "CACA")
 
-        def up(name, x):
-            # periodic 2x upsample: wrap-pad 1, dilated conv, crop 2/side
+        def resample(name, x, seq):
             if vel:
-                a, da = x
-                a, da = _wrap_pad(a, 1), _wrap_pad(da, 1)
-                a, da = apply_resample_block_vel(p[name], a, da, "UA")
-                return a[:, 2:-2, 2:-2, 2:-2], da[:, 2:-2, 2:-2, 2:-2]
-            a = apply_resample_block(p[name], _wrap_pad(x, 1), "UA")
-            return a[:, 2:-2, 2:-2, 2:-2]
+                return apply_resample_block_vel(p[name], x[0], x[1], seq)
+            return apply_resample_block(p[name], x, seq)
 
         def cat(a, b):
             if vel:
@@ -152,16 +164,19 @@ class HierarchicalProcessor:
                 )
             return jnp.concatenate([a, b], -1)
 
-        y1 = resnet("conv_l1", h1)
-        h = down("down_l1", y1)
+        y1 = resnet("conv_l1", t)
+        h = resample("down_l1", y1, "DA")
         y2 = resnet("conv_l2", h)
-        h = down("down_l2", y2)
+        h = resample("down_l2", y2, "DA")
         h = resnet("conv_c", h)
-        h = up("up_r2", h)
-        h = resnet("conv_r2", cat(y2, h))
-        h = up("up_r1", h)
-        h = resnet("conv_r1", cat(y1, h))
-        return h  # (1, N/2, N/2, N/2, mid) (+ tangent)
+        h = resample("up_r2", h, "UA")
+        h = resnet("conv_r2", cat(crop_like(y2, h), h))
+        h = resample("up_r1", h, "UA")
+        h = resnet("conv_r1", cat(crop_like(y1, h), h))
+        # margin 22 leaves 2 extra voxels per side (M+4 -> M)
+        if vel:
+            return h[0][:, 2:-2, 2:-2, 2:-2], h[1][:, 2:-2, 2:-2, 2:-2]
+        return h[:, 2:-2, 2:-2, 2:-2]
 
     # ------------------------------------------------------------------
     # Phase 3: final decode of one tile
@@ -247,12 +262,37 @@ class HierarchicalProcessor:
             else:
                 h1 = jax.lax.dynamic_update_slice(h1, out, (0, d0 // 2, 0, 0, 0))
 
-        # ---- Phase 2: deep network, monolithic ---------------------------
-        r1 = self._phase2(self.params, (h1, dh1) if self.compute_vel else h1)
-
-        # Wrap-pad the phase-2 buffer once for tile slicing (halo 3).
+        # ---- Phase 2: deep network, tiled at level 1 ----------------------
+        m1 = cfg.tile1
+        hm = self.PHASE2_MARGIN
         if self.compute_vel:
-            r1p = (_wrap_pad(r1[0], 3), _wrap_pad(r1[1], 3))
+            h1p = (_wrap_pad(h1, hm), _wrap_pad(dh1, hm))
+        else:
+            h1p = _wrap_pad(h1, hm)
+        r1 = jnp.zeros_like(h1)
+        dr1 = jnp.zeros_like(h1) if self.compute_vel else None
+        ext = (1, m1 + 2 * hm, m1 + 2 * hm, m1 + 2 * hm, mid)
+        for b0 in range(0, nd // 2, m1):
+            for b1 in range(0, nh // 2, m1):
+                for b2 in range(0, nw // 2, m1):
+                    start = (0, b0, b1, b2, 0)
+                    if self.compute_vel:
+                        t = (
+                            jax.lax.dynamic_slice(h1p[0], start, ext),
+                            jax.lax.dynamic_slice(h1p[1], start, ext),
+                        )
+                        o, do = self._phase2(self.params, t)
+                        r1 = jax.lax.dynamic_update_slice(r1, o, start)
+                        dr1 = jax.lax.dynamic_update_slice(dr1, do, start)
+                    else:
+                        t = jax.lax.dynamic_slice(h1p, start, ext)
+                        r1 = jax.lax.dynamic_update_slice(
+                            r1, self._phase2(self.params, t), start
+                        )
+
+        # Wrap-pad the phase-2 output once for phase-3 tile slicing (halo 3).
+        if self.compute_vel:
+            r1p = (_wrap_pad(r1, 3), _wrap_pad(dr1, 3))
         else:
             r1p = _wrap_pad(r1, 3)
 
