@@ -29,6 +29,9 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--no-vel", action="store_true")
     p.add_argument("--style", action="store_true", help="runtime-style model (no premodulation)")
+    p.add_argument("--runtime", choices=("hierarchical", "subbox"), default="hierarchical",
+                   help="hierarchical = overlap-minimal phase runtime (premodulated "
+                        "models); subbox = classic halo-recompute tiles")
     p.add_argument("--mid-chan", type=int, default=64)
     args = p.parse_args()
 
@@ -61,13 +64,29 @@ def main():
         model = NBodyEmulatorCore(mid_chan=args.mid_chan)
 
     size = (args.size,) * 3
-    cfg = SubboxConfig(
-        size=size,
-        ndiv=tuple(args.ndiv),
-        dtype=jnp.dtype(args.dtype),
-        output_dtype=np.float16,
-    )
-    proc = SubboxProcessor(model, params, cfg)
+    use_hier = args.runtime == "hierarchical" and not args.style
+    if use_hier:
+        from jax_nbody_emulator_with_dj_tpu.hierarchical import (
+            HierarchicalConfig,
+            HierarchicalProcessor,
+        )
+
+        hcfg = HierarchicalConfig(
+            size=size,
+            slab=min(32, args.size),
+            tile=(min(128, args.size),) * 3,
+            dtype=jnp.dtype(args.dtype),
+            output_dtype=np.float16,
+        )
+        proc = HierarchicalProcessor(model, params, hcfg)
+    else:
+        cfg = SubboxConfig(
+            size=size,
+            ndiv=tuple(args.ndiv),
+            dtype=jnp.dtype(args.dtype),
+            output_dtype=np.float16,
+        )
+        proc = SubboxProcessor(model, params, cfg)
 
     box = np.random.default_rng(1).normal(size=(3,) + size).astype(np.float32)
 
@@ -99,7 +118,8 @@ def main():
         "all_runs_s": [round(t, 3) for t in times],
         "device": str(dev),
         "dtype": args.dtype,
-        "ndiv": list(args.ndiv),
+        "runtime": "hierarchical" if use_hier else "subbox",
+        "ndiv": None if use_hier else list(args.ndiv),
     }
     print(json.dumps(record))
 

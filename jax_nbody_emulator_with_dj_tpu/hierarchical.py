@@ -101,6 +101,16 @@ class HierarchicalProcessor:
         self._phase1 = jax.jit(self._phase1_slab)
         self._phase2 = jax.jit(self._phase2_tile)
         self._phase3 = jax.jit(self._phase3_tile)
+        # Donated in-place scatter: without donation every buffer update
+        # would copy the whole (multi-GB) accumulator array.
+        self._scatter = jax.jit(
+            lambda buf, val, start: jax.lax.dynamic_update_slice(buf, val, start),
+            donate_argnums=(0,),
+            static_argnames=(),
+        )
+
+    def _scat(self, buf, val, start):
+        return self._scatter(buf, val, tuple(jnp.int32(s) for s in start))
 
     # ------------------------------------------------------------------
     # Phase 1: level-0 encoder on one D-slab -> level-1 rows
@@ -238,10 +248,15 @@ class HierarchicalProcessor:
 
         # NCDHW scaled input (channel-first: C=3 must not sit in the 128-lane
         # minor dim), wrap-padded by 8 (covers phase-1 halo 4 and phase-3
-        # halo 8).
+        # halo 8).  Cast on host first so no fp32 copy lands in HBM, and drop
+        # intermediate buffers eagerly — at 512^3 every full-box copy is
+        # ~1 GB and the phase buffers dominate a 16 GB chip.
+        if isinstance(input_box, np.ndarray):
+            input_box = input_box.astype(jnp.dtype(cfg.dtype))
         box = jnp.asarray(input_box, cfg.dtype)[None]
         box = box * (Dz.astype(cfg.dtype) / jnp.asarray(6.0, cfg.dtype))
         boxp = _wrap_pad(box, 8, axes=(2, 3, 4))
+        del box
 
         # ---- Phase 1: build the level-1 volume slab by slab --------------
         mid = self.model.mid_chan
@@ -257,20 +272,21 @@ class HierarchicalProcessor:
             )
             out = self._phase1(self.params, slab)
             if self.compute_vel:
-                h1 = jax.lax.dynamic_update_slice(h1, out[0], (0, d0 // 2, 0, 0, 0))
-                dh1 = jax.lax.dynamic_update_slice(dh1, out[1], (0, d0 // 2, 0, 0, 0))
+                h1 = self._scat(h1, out[0], (0, d0 // 2, 0, 0, 0))
+                dh1 = self._scat(dh1, out[1], (0, d0 // 2, 0, 0, 0))
             else:
-                h1 = jax.lax.dynamic_update_slice(h1, out, (0, d0 // 2, 0, 0, 0))
+                h1 = self._scat(h1, out, (0, d0 // 2, 0, 0, 0))
 
         # ---- Phase 2: deep network, tiled at level 1 ----------------------
         m1 = cfg.tile1
         hm = self.PHASE2_MARGIN
+        r1 = jnp.zeros_like(h1)
+        dr1 = jnp.zeros_like(h1) if self.compute_vel else None
         if self.compute_vel:
             h1p = (_wrap_pad(h1, hm), _wrap_pad(dh1, hm))
         else:
             h1p = _wrap_pad(h1, hm)
-        r1 = jnp.zeros_like(h1)
-        dr1 = jnp.zeros_like(h1) if self.compute_vel else None
+        del h1, dh1
         ext = (1, m1 + 2 * hm, m1 + 2 * hm, m1 + 2 * hm, mid)
         for b0 in range(0, nd // 2, m1):
             for b1 in range(0, nh // 2, m1):
@@ -282,19 +298,19 @@ class HierarchicalProcessor:
                             jax.lax.dynamic_slice(h1p[1], start, ext),
                         )
                         o, do = self._phase2(self.params, t)
-                        r1 = jax.lax.dynamic_update_slice(r1, o, start)
-                        dr1 = jax.lax.dynamic_update_slice(dr1, do, start)
+                        r1 = self._scat(r1, o, start)
+                        dr1 = self._scat(dr1, do, start)
                     else:
                         t = jax.lax.dynamic_slice(h1p, start, ext)
-                        r1 = jax.lax.dynamic_update_slice(
-                            r1, self._phase2(self.params, t), start
-                        )
+                        r1 = self._scat(r1, self._phase2(self.params, t), start)
 
+        del h1p
         # Wrap-pad the phase-2 output once for phase-3 tile slicing (halo 3).
         if self.compute_vel:
             r1p = (_wrap_pad(r1, 3), _wrap_pad(dr1, 3))
         else:
             r1p = _wrap_pad(r1, 3)
+        del r1, dr1
 
         # ---- Phase 3: final decode, tiled ---------------------------------
         out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
@@ -327,16 +343,10 @@ class HierarchicalProcessor:
                     out = self._phase3(self.params, box_tile, r1_tile, Dz, vel_fac)
                     if self.compute_vel:
                         d_t, v_t = out
-                        dis = jax.lax.dynamic_update_slice(
-                            dis, d_t.astype(out_dtype), (0, 0, a0, a1, a2)
-                        )
-                        vel = jax.lax.dynamic_update_slice(
-                            vel, v_t.astype(out_dtype), (0, 0, a0, a1, a2)
-                        )
+                        dis = self._scat(dis, d_t.astype(out_dtype), (0, 0, a0, a1, a2))
+                        vel = self._scat(vel, v_t.astype(out_dtype), (0, 0, a0, a1, a2))
                     else:
-                        dis = jax.lax.dynamic_update_slice(
-                            dis, out.astype(out_dtype), (0, 0, a0, a1, a2)
-                        )
+                        dis = self._scat(dis, out.astype(out_dtype), (0, 0, a0, a1, a2))
 
         def fin(t):
             return np.asarray(t[0]) if as_numpy else t[0]
