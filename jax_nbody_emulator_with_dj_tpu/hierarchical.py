@@ -98,19 +98,66 @@ class HierarchicalProcessor:
         self.config = config
         self.compute_vel = isinstance(model, NBodyEmulatorVelCore)
 
-        self._phase1 = jax.jit(self._phase1_slab)
-        self._phase2 = jax.jit(self._phase2_tile)
-        self._phase3 = jax.jit(self._phase3_tile)
-        # Donated in-place scatter: without donation every buffer update
-        # would copy the whole (multi-GB) accumulator array.
-        self._scatter = jax.jit(
-            lambda buf, val, start: jax.lax.dynamic_update_slice(buf, val, start),
-            donate_argnums=(0,),
-            static_argnames=(),
+        # Each phase step is ONE jitted program: slice(s) from the source
+        # buffer, the phase network, and a donated in-place scatter into the
+        # destination buffer.  Anything eager between steps (op-by-op slices,
+        # un-donated updates) costs a dispatch round-trip and a full-buffer
+        # copy per tile, which dominated early versions of this runtime.
+        self._phase1 = jax.jit(self._phase1_step, donate_argnums=(3,))
+        self._phase2 = jax.jit(self._phase2_step, donate_argnums=(3,))
+        self._phase3 = jax.jit(self._phase3_step, donate_argnums=(3,))
+
+    def _phase1_step(self, params, boxp, d0, h1_out):
+        cfg = self.config
+        nh, nw = cfg.size[1], cfg.size[2]
+        slab = jax.lax.dynamic_slice(
+            boxp, (0, 0, d0 + 4, 4, 4), (1, cfg.in_chan, cfg.slab + 8, nh + 8, nw + 8)
+        )
+        out = self._phase1_slab(params, slab)
+        outs = out if self.compute_vel else (out,)
+        return tuple(
+            jax.lax.dynamic_update_slice(buf, o, (0, d0 // 2, 0, 0, 0))
+            for buf, o in zip(h1_out, outs)
         )
 
-    def _scat(self, buf, val, start):
-        return self._scatter(buf, val, tuple(jnp.int32(s) for s in start))
+    def _phase2_step(self, params, h1p, start, r1_out):
+        m1 = self.config.tile1
+        hm = self.PHASE2_MARGIN
+        ext = (1, m1 + 2 * hm, m1 + 2 * hm, m1 + 2 * hm, self.model.mid_chan)
+        s5 = (0, start[0], start[1], start[2], 0)
+        if self.compute_vel:
+            t = tuple(jax.lax.dynamic_slice(h, s5, ext) for h in h1p)
+        else:
+            t = jax.lax.dynamic_slice(h1p[0], s5, ext)
+        out = self._phase2_tile(params, t)
+        outs = out if self.compute_vel else (out,)
+        return tuple(
+            jax.lax.dynamic_update_slice(buf, o, s5)
+            for buf, o in zip(r1_out, outs)
+        )
+
+    def _phase3_step(self, params, srcs, a, outs, Dz, vel_fac):
+        cfg = self.config
+        boxp, r1p = srcs[0], srcs[1:]
+        td, th, tw = cfg.tile
+        mid = self.model.mid_chan
+        box_tile = jax.lax.dynamic_slice(
+            boxp, (0, 0, a[0], a[1], a[2]),
+            (1, cfg.in_chan, td + 16, th + 16, tw + 16),
+        )
+        r_ext = (1, td // 2 + 6, th // 2 + 6, tw // 2 + 6, mid)
+        r_start = (0, a[0] // 2, a[1] // 2, a[2] // 2, 0)
+        if self.compute_vel:
+            r1_tile = tuple(jax.lax.dynamic_slice(r, r_start, r_ext) for r in r1p)
+        else:
+            r1_tile = jax.lax.dynamic_slice(r1p[0], r_start, r_ext)
+        out = self._phase3_tile(params, box_tile, r1_tile, Dz, vel_fac)
+        out = out if self.compute_vel else (out,)
+        out_dtype = outs[0].dtype
+        return tuple(
+            jax.lax.dynamic_update_slice(buf, o.astype(out_dtype), (0, 0, a[0], a[1], a[2]))
+            for buf, o in zip(outs, out)
+        )
 
     # ------------------------------------------------------------------
     # Phase 1: level-0 encoder on one D-slab -> level-1 rows
@@ -253,104 +300,60 @@ class HierarchicalProcessor:
         # ~1 GB and the phase buffers dominate a 16 GB chip.
         if isinstance(input_box, np.ndarray):
             input_box = input_box.astype(jnp.dtype(cfg.dtype))
-        box = jnp.asarray(input_box, cfg.dtype)[None]
-        box = box * (Dz.astype(cfg.dtype) / jnp.asarray(6.0, cfg.dtype))
-        boxp = _wrap_pad(box, 8, axes=(2, 3, 4))
-        del box
+        scale = jax.jit(
+            lambda b, dz: _wrap_pad(
+                b[None] * (dz.astype(cfg.dtype) / jnp.asarray(6.0, cfg.dtype)),
+                8,
+                axes=(2, 3, 4),
+            )
+        )
+        boxp = scale(jnp.asarray(input_box, cfg.dtype), Dz)
 
         # ---- Phase 1: build the level-1 volume slab by slab --------------
         mid = self.model.mid_chan
-        h1 = jnp.zeros((1, nd // 2, nh // 2, nw // 2, mid), cfg.dtype)
-        dh1 = jnp.zeros_like(h1) if self.compute_vel else None
+        nbuf = 2 if self.compute_vel else 1
+        h1 = tuple(
+            jnp.zeros((1, nd // 2, nh // 2, nw // 2, mid), cfg.dtype)
+            for _ in range(nbuf)
+        )
         for d0 in range(0, nd, cfg.slab):
-            # slab rows [d0-4, d0+slab+4) of the unpadded grid = boxp rows
-            # [d0+4, d0+slab+12); H/W need halo 4 = boxp cols [4, n+12).
-            slab = jax.lax.dynamic_slice(
-                boxp,
-                (0, 0, d0 + 4, 4, 4),
-                (1, cfg.in_chan, cfg.slab + 8, nh + 8, nw + 8),
-            )
-            out = self._phase1(self.params, slab)
-            if self.compute_vel:
-                h1 = self._scat(h1, out[0], (0, d0 // 2, 0, 0, 0))
-                dh1 = self._scat(dh1, out[1], (0, d0 // 2, 0, 0, 0))
-            else:
-                h1 = self._scat(h1, out, (0, d0 // 2, 0, 0, 0))
+            h1 = self._phase1(self.params, boxp, jnp.int32(d0), h1)
 
         # ---- Phase 2: deep network, tiled at level 1 ----------------------
         m1 = cfg.tile1
         hm = self.PHASE2_MARGIN
-        r1 = jnp.zeros_like(h1)
-        dr1 = jnp.zeros_like(h1) if self.compute_vel else None
-        if self.compute_vel:
-            h1p = (_wrap_pad(h1, hm), _wrap_pad(dh1, hm))
-        else:
-            h1p = _wrap_pad(h1, hm)
-        del h1, dh1
-        ext = (1, m1 + 2 * hm, m1 + 2 * hm, m1 + 2 * hm, mid)
+        r1 = tuple(jnp.zeros_like(h) for h in h1)
+        pad_hm = jax.jit(lambda t: tuple(_wrap_pad(h, hm) for h in t))
+        h1p = pad_hm(h1)
+        del h1
         for b0 in range(0, nd // 2, m1):
             for b1 in range(0, nh // 2, m1):
                 for b2 in range(0, nw // 2, m1):
-                    start = (0, b0, b1, b2, 0)
-                    if self.compute_vel:
-                        t = (
-                            jax.lax.dynamic_slice(h1p[0], start, ext),
-                            jax.lax.dynamic_slice(h1p[1], start, ext),
-                        )
-                        o, do = self._phase2(self.params, t)
-                        r1 = self._scat(r1, o, start)
-                        dr1 = self._scat(dr1, do, start)
-                    else:
-                        t = jax.lax.dynamic_slice(h1p, start, ext)
-                        r1 = self._scat(r1, self._phase2(self.params, t), start)
+                    start = jnp.asarray((b0, b1, b2), jnp.int32)
+                    r1 = self._phase2(self.params, h1p, start, r1)
 
         del h1p
         # Wrap-pad the phase-2 output once for phase-3 tile slicing (halo 3).
-        if self.compute_vel:
-            r1p = (_wrap_pad(r1, 3), _wrap_pad(dr1, 3))
-        else:
-            r1p = _wrap_pad(r1, 3)
-        del r1, dr1
+        pad3 = jax.jit(lambda t: tuple(_wrap_pad(r, 3) for r in t))
+        r1p = pad3(r1)
+        del r1
 
         # ---- Phase 3: final decode, tiled ---------------------------------
         out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
-        dis = jnp.zeros((1, cfg.in_chan) + cfg.size, out_dtype)
-        vel = jnp.zeros_like(dis) if self.compute_vel else None
+        outs = tuple(
+            jnp.zeros((1, cfg.in_chan) + cfg.size, out_dtype) for _ in range(nbuf)
+        )
         td, th, tw = cfg.tile
+        srcs = (boxp,) + r1p
         for a0 in range(0, nd, td):
             for a1 in range(0, nh, th):
                 for a2 in range(0, nw, tw):
-                    box_tile = jax.lax.dynamic_slice(
-                        boxp,
-                        (0, 0, a0, a1, a2),
-                        (1, cfg.in_chan, td + 16, th + 16, tw + 16),
-                    )
-                    if self.compute_vel:
-                        r1_tile = tuple(
-                            jax.lax.dynamic_slice(
-                                r,
-                                (0, a0 // 2, a1 // 2, a2 // 2, 0),
-                                (1, td // 2 + 6, th // 2 + 6, tw // 2 + 6, mid),
-                            )
-                            for r in r1p
-                        )
-                    else:
-                        r1_tile = jax.lax.dynamic_slice(
-                            r1p,
-                            (0, a0 // 2, a1 // 2, a2 // 2, 0),
-                            (1, td // 2 + 6, th // 2 + 6, tw // 2 + 6, mid),
-                        )
-                    out = self._phase3(self.params, box_tile, r1_tile, Dz, vel_fac)
-                    if self.compute_vel:
-                        d_t, v_t = out
-                        dis = self._scat(dis, d_t.astype(out_dtype), (0, 0, a0, a1, a2))
-                        vel = self._scat(vel, v_t.astype(out_dtype), (0, 0, a0, a1, a2))
-                    else:
-                        dis = self._scat(dis, out.astype(out_dtype), (0, 0, a0, a1, a2))
+                    a = jnp.asarray((a0, a1, a2), jnp.int32)
+                    outs = self._phase3(self.params, srcs, a, outs, Dz, vel_fac)
 
         def fin(t):
             return np.asarray(t[0]) if as_numpy else t[0]
 
         if self.compute_vel:
-            return fin(dis), fin(vel)
-        return fin(dis)
+            return fin(outs[0]), fin(outs[1])
+        return fin(outs[0])
