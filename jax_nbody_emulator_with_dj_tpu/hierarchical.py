@@ -98,14 +98,47 @@ class HierarchicalProcessor:
         self.config = config
         self.compute_vel = isinstance(model, NBodyEmulatorVelCore)
 
-        # Each phase step is ONE jitted program: slice(s) from the source
-        # buffer, the phase network, and a donated in-place scatter into the
-        # destination buffer.  Anything eager between steps (op-by-op slices,
-        # un-donated updates) costs a dispatch round-trip and a full-buffer
-        # copy per tile, which dominated early versions of this runtime.
-        self._phase1 = jax.jit(self._phase1_step, donate_argnums=(3,))
-        self._phase2 = jax.jit(self._phase2_step, donate_argnums=(3,))
-        self._phase3 = jax.jit(self._phase3_step, donate_argnums=(3,))
+        # Each phase is ONE jitted program: a fori_loop whose body does
+        # slice(s) from the source buffer, the phase network, and an
+        # in-place scatter into the (donated) destination buffer.  Eager
+        # per-tile dispatch (and per-tile host->device anchor transfers)
+        # dominated early versions of this runtime.
+        self._phase1 = jax.jit(self._phase1_all, donate_argnums=(2,))
+        self._phase2 = jax.jit(self._phase2_all, donate_argnums=(2,))
+        self._phase3 = jax.jit(self._phase3_all, donate_argnums=(3,))
+
+    def _tile_anchors(self, steps3):
+        import itertools
+
+        grid = list(itertools.product(*[range(0, n, s) for n, s in steps3]))
+        return jnp.asarray(np.asarray(grid, np.int32))
+
+    def _phase1_all(self, params, boxp, h1_out):
+        cfg = self.config
+        n_slabs = cfg.size[0] // cfg.slab
+
+        def body(i, h1):
+            return self._phase1_step(params, boxp, i * cfg.slab, h1)
+
+        return jax.lax.fori_loop(0, n_slabs, body, h1_out)
+
+    def _phase2_all(self, params, h1p, r1_out):
+        cfg = self.config
+        anchors = self._tile_anchors([(s // 2, cfg.tile1) for s in cfg.size])
+
+        def body(i, r1):
+            return self._phase2_step(params, h1p, anchors[i], r1)
+
+        return jax.lax.fori_loop(0, anchors.shape[0], body, r1_out)
+
+    def _phase3_all(self, params, boxp, r1p, outs, Dz, vel_fac):
+        cfg = self.config
+        anchors = self._tile_anchors(list(zip(cfg.size, cfg.tile)))
+
+        def body(i, o):
+            return self._phase3_step(params, (boxp,) + r1p, anchors[i], o, Dz, vel_fac)
+
+        return jax.lax.fori_loop(0, anchors.shape[0], body, outs)
 
     def _phase1_step(self, params, boxp, d0, h1_out):
         cfg = self.config
@@ -316,21 +349,15 @@ class HierarchicalProcessor:
             jnp.zeros((1, nd // 2, nh // 2, nw // 2, mid), cfg.dtype)
             for _ in range(nbuf)
         )
-        for d0 in range(0, nd, cfg.slab):
-            h1 = self._phase1(self.params, boxp, jnp.int32(d0), h1)
+        h1 = self._phase1(self.params, boxp, h1)
 
         # ---- Phase 2: deep network, tiled at level 1 ----------------------
-        m1 = cfg.tile1
         hm = self.PHASE2_MARGIN
         r1 = tuple(jnp.zeros_like(h) for h in h1)
         pad_hm = jax.jit(lambda t: tuple(_wrap_pad(h, hm) for h in t))
         h1p = pad_hm(h1)
         del h1
-        for b0 in range(0, nd // 2, m1):
-            for b1 in range(0, nh // 2, m1):
-                for b2 in range(0, nw // 2, m1):
-                    start = jnp.asarray((b0, b1, b2), jnp.int32)
-                    r1 = self._phase2(self.params, h1p, start, r1)
+        r1 = self._phase2(self.params, h1p, r1)
 
         del h1p
         # Wrap-pad the phase-2 output once for phase-3 tile slicing (halo 3).
@@ -343,13 +370,7 @@ class HierarchicalProcessor:
         outs = tuple(
             jnp.zeros((1, cfg.in_chan) + cfg.size, out_dtype) for _ in range(nbuf)
         )
-        td, th, tw = cfg.tile
-        srcs = (boxp,) + r1p
-        for a0 in range(0, nd, td):
-            for a1 in range(0, nh, th):
-                for a2 in range(0, nw, tw):
-                    a = jnp.asarray((a0, a1, a2), jnp.int32)
-                    outs = self._phase3(self.params, srcs, a, outs, Dz, vel_fac)
+        outs = self._phase3(self.params, boxp, r1p, outs, Dz, vel_fac)
 
         def fin(t):
             return np.asarray(t[0]) if as_numpy else t[0]
