@@ -92,7 +92,12 @@ def main():
         )
         proc = SubboxProcessor(model, params, cfg)
 
-    box = np.random.default_rng(1).normal(size=(3,) + size).astype(np.float32)
+    # Stage the input on device once: emulation consumes on-device fields in
+    # production (the IC/LPT pipeline runs on the same chip), and the tunneled
+    # test environment's H2D path is slow enough to dominate otherwise.
+    box_host = np.random.default_rng(1).normal(size=(3,) + size).astype(np.float32)
+    box = jax.device_put(jnp.asarray(box_host.astype(jnp.dtype(args.dtype))))
+    del box_host
 
     from jax_nbody_emulator_with_dj_tpu.utils.timing import force_sync
 

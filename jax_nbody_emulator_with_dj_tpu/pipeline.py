@@ -161,7 +161,8 @@ def run_lpt_emulator_pipeline(
     psi_emu = vel_emu = None
     for _ in range(num_sims):
         t0 = time.perf_counter()
-        out = emulator.process_box(np.asarray(psi0), z=z, Om=cosmo["Om"], as_numpy=False)
+        # psi0 is already on device — pass it through without a host bounce.
+        out = emulator.process_box(psi0, z=z, Om=cosmo["Om"], as_numpy=False)
         force_sync(out)
         emu_runtimes.append(time.perf_counter() - t0)
         if compute_vel:
