@@ -122,21 +122,21 @@ class HierarchicalProcessor:
 
         return jax.lax.fori_loop(0, n_slabs, body, h1_out)
 
-    def _phase2_all(self, params, h1p, r1_out):
+    def _phase2_all(self, params, h1, r1_out):
         cfg = self.config
         anchors = self._tile_anchors([(s // 2, cfg.tile1) for s in cfg.size])
 
         def body(i, r1):
-            return self._phase2_step(params, h1p, anchors[i], r1)
+            return self._phase2_step(params, h1, anchors[i], r1)
 
         return jax.lax.fori_loop(0, anchors.shape[0], body, r1_out)
 
-    def _phase3_all(self, params, boxp, r1p, outs, Dz, vel_fac):
+    def _phase3_all(self, params, boxp, r1, outs, Dz, vel_fac):
         cfg = self.config
         anchors = self._tile_anchors(list(zip(cfg.size, cfg.tile)))
 
         def body(i, o):
-            return self._phase3_step(params, (boxp,) + r1p, anchors[i], o, Dz, vel_fac)
+            return self._phase3_step(params, (boxp,) + r1, anchors[i], o, Dz, vel_fac)
 
         return jax.lax.fori_loop(0, anchors.shape[0], body, outs)
 
@@ -148,42 +148,66 @@ class HierarchicalProcessor:
         )
         out = self._phase1_slab(params, slab)
         outs = out if self.compute_vel else (out,)
+        # level-1 buffers live NCDHW (see _wrap_slice_cfirst)
         return tuple(
-            jax.lax.dynamic_update_slice(buf, o, (0, d0 // 2, 0, 0, 0))
+            jax.lax.dynamic_update_slice(
+                buf, jnp.moveaxis(o, -1, 1), (0, 0, d0 // 2, 0, 0)
+            )
             for buf, o in zip(h1_out, outs)
         )
 
-    def _phase2_step(self, params, h1p, start, r1_out):
+    @staticmethod
+    def _wrap_slice_cfirst(buf, starts, size):
+        """Periodic tile slice of an NCDHW buffer, returned channels-last.
+
+        The persistent level-1 buffers are stored NCDHW: channels-last bf16
+        C=64 arrays pad their minor dim to 128 lanes (2x HBM), which at
+        512^3-vel pushes the buffer set past a 16 GB chip.  Gathering with
+        mod indices also avoids materializing padded copies.
+        """
+        for ax, st in zip((2, 3, 4), starts):
+            n = buf.shape[ax]
+            idx = jnp.mod(jnp.arange(size) + st, n)
+            buf = jnp.take(buf, idx, axis=ax)
+        return jnp.moveaxis(buf, 1, -1)
+
+    def _phase2_step(self, params, h1, start, r1_out):
         m1 = self.config.tile1
         hm = self.PHASE2_MARGIN
-        ext = (1, m1 + 2 * hm, m1 + 2 * hm, m1 + 2 * hm, self.model.mid_chan)
-        s5 = (0, start[0], start[1], start[2], 0)
+        starts = tuple(start[d] - hm for d in range(3))
         if self.compute_vel:
-            t = tuple(jax.lax.dynamic_slice(h, s5, ext) for h in h1p)
+            t = tuple(self._wrap_slice_cfirst(h, starts, m1 + 2 * hm) for h in h1)
         else:
-            t = jax.lax.dynamic_slice(h1p[0], s5, ext)
+            t = self._wrap_slice_cfirst(h1[0], starts, m1 + 2 * hm)
         out = self._phase2_tile(params, t)
         outs = out if self.compute_vel else (out,)
+        s5 = (0, 0, start[0], start[1], start[2])
         return tuple(
-            jax.lax.dynamic_update_slice(buf, o, s5)
+            jax.lax.dynamic_update_slice(buf, jnp.moveaxis(o, -1, 1), s5)
             for buf, o in zip(r1_out, outs)
         )
 
     def _phase3_step(self, params, srcs, a, outs, Dz, vel_fac):
         cfg = self.config
-        boxp, r1p = srcs[0], srcs[1:]
+        boxp, r1 = srcs[0], srcs[1:]
         td, th, tw = cfg.tile
-        mid = self.model.mid_chan
         box_tile = jax.lax.dynamic_slice(
             boxp, (0, 0, a[0], a[1], a[2]),
             (1, cfg.in_chan, td + 16, th + 16, tw + 16),
         )
-        r_ext = (1, td // 2 + 6, th // 2 + 6, tw // 2 + 6, mid)
-        r_start = (0, a[0] // 2, a[1] // 2, a[2] // 2, 0)
+        # Level-1 slices (halo 3) with periodic wrap gathers from the NCDHW
+        # buffers.  NB: tile extents differ per axis.
+        def r_slice(buf):
+            for ax, (ad, tsz) in enumerate(zip((a[0], a[1], a[2]), (td, th, tw))):
+                n = buf.shape[ax + 2]
+                idx = jnp.mod(jnp.arange(tsz // 2 + 6) + ad // 2 - 3, n)
+                buf = jnp.take(buf, idx, axis=ax + 2)
+            return jnp.moveaxis(buf, 1, -1)
+
         if self.compute_vel:
-            r1_tile = tuple(jax.lax.dynamic_slice(r, r_start, r_ext) for r in r1p)
+            r1_tile = tuple(r_slice(r) for r in r1)
         else:
-            r1_tile = jax.lax.dynamic_slice(r1p[0], r_start, r_ext)
+            r1_tile = r_slice(r1[0])
         out = self._phase3_tile(params, box_tile, r1_tile, Dz, vel_fac)
         out = out if self.compute_vel else (out,)
         out_dtype = outs[0].dtype
@@ -346,31 +370,24 @@ class HierarchicalProcessor:
         mid = self.model.mid_chan
         nbuf = 2 if self.compute_vel else 1
         h1 = tuple(
-            jnp.zeros((1, nd // 2, nh // 2, nw // 2, mid), cfg.dtype)
+            jnp.zeros((1, mid, nd // 2, nh // 2, nw // 2), cfg.dtype)
             for _ in range(nbuf)
         )
         h1 = self._phase1(self.params, boxp, h1)
 
         # ---- Phase 2: deep network, tiled at level 1 ----------------------
-        hm = self.PHASE2_MARGIN
+        # Tiles slice h1 with periodic gathers (no padded copy of the whole
+        # level-1 volume — its construction transient would OOM at 512^3-vel).
         r1 = tuple(jnp.zeros_like(h) for h in h1)
-        pad_hm = jax.jit(lambda t: tuple(_wrap_pad(h, hm) for h in t))
-        h1p = pad_hm(h1)
+        r1 = self._phase2(self.params, h1, r1)
         del h1
-        r1 = self._phase2(self.params, h1p, r1)
-
-        del h1p
-        # Wrap-pad the phase-2 output once for phase-3 tile slicing (halo 3).
-        pad3 = jax.jit(lambda t: tuple(_wrap_pad(r, 3) for r in t))
-        r1p = pad3(r1)
-        del r1
-
         # ---- Phase 3: final decode, tiled ---------------------------------
         out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
         outs = tuple(
             jnp.zeros((1, cfg.in_chan) + cfg.size, out_dtype) for _ in range(nbuf)
         )
-        outs = self._phase3(self.params, boxp, r1p, outs, Dz, vel_fac)
+        outs = self._phase3(self.params, boxp, r1, outs, Dz, vel_fac)
+        del r1
 
         def fin(t):
             return np.asarray(t[0]) if as_numpy else t[0]
