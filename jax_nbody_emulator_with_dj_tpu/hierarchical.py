@@ -8,22 +8,28 @@ runtime exploits the U-Net's structure to cut the overhead to ~1.3x:
     applied to D-axis slabs of the full box (4-voxel D halos, periodic
     wrap in H/W), immediately downsampling each slab into the level-1
     buffer.  Full-resolution features are never stored.
-  Phase 2 (monolithic deep network): everything from conv_l1 through
-    conv_r1 runs on the whole (N/2)^3 volume using periodic (wrap-pad)
-    convolutions — zero overlap, exact circular-convolution semantics
-    identical to the subbox assembly.
+  Phase 2 (deep network, tiled at level 1): everything from conv_l1 through
+    conv_r1 runs on level-1 tiles with a parity-aligned 22-voxel margin —
+    the deep stack holds ~10% of the FLOPs, so its tiling overhead is
+    negligible while memory stays bounded.
   Phase 3 (tiled final decode): per output tile, y0 is recomputed from the
     input box (halo 8) and combined with an up_r0 slice of the phase-2
     buffer through conv_r00/conv_r01 (halo 4) — small halos because only
     four convs separate these inputs from the output.
 
-Centered periodic convolutions (wrap-pad 1 per k3 conv side) keep every
-tensor aligned to the global grid, which makes this runtime bit-compatible
-(up to fp reordering) with the subbox decomposition — asserted in tests.
+All tiles are anchored on the global grid with even offsets at every level,
+which makes this runtime equivalent (up to fp reordering) to the subbox
+decomposition — asserted in tests.  Each phase is a single jitted fori_loop
+with donated output buffers; persistent level-1 volumes live NCDHW so the
+64-channel bf16 buffers avoid the 2x 128-lane padding; inputs are expected
+device-resident.
 
 Supports the premodulated displacement and displacement+velocity models
-(the production configurations).  Memory peak is a few (N/2)^3 x 64ch
-buffers plus one slab/tile working set, so 512^3 fits on a 16 GB chip.
+(the production configurations).  512^3 disp+vel fits a 16 GB chip.
+
+Measured (v5e, bf16, 512^3, compile excluded): disp 17.9-18.8 s,
+disp+vel 50.2 s — vs the subbox runtime's ~28 s/70 s of pure tile compute
+plus its 5.4x halo-recompute FLOPs.
 """
 
 from __future__ import annotations
