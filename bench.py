@@ -75,10 +75,13 @@ def main():
             HierarchicalProcessor,
         )
 
+        # The velocity path threads (x, dx) pairs -> ~2x working sets; use
+        # the measured-fitting geometry on 16 GB chips.
+        t = min(128, args.size)
         hcfg = HierarchicalConfig(
             size=size,
-            slab=min(32, args.size),
-            tile=(min(128, args.size),) * 3,
+            slab=min(16 if compute_vel else 32, args.size),
+            tile=(t, t, max(t // 2, 8)) if compute_vel else (t, t, t),
             dtype=jnp.dtype(args.dtype),
             output_dtype=np.float16,
         )
