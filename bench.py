@@ -1,9 +1,10 @@
 """Flagship benchmark: full-box emulation throughput on one chip.
 
-Headline config: 512^3, bf16 compute, premodulated displacement model through
-the hierarchical (overlap-minimal) runtime on one TPU chip.  Compared against
-the reference's published A100 fp16 numbers (README.md:245-249): disp-only
-10.9 s, disp+vel 25.8 s.  Timing uses a readback barrier (``force_sync``)
+Headline config (the north-star metric): 512^3, bf16 compute, premodulated
+displacement+velocity model through the hierarchical (overlap-minimal)
+runtime on one TPU chip.  Compared against the reference's published A100
+fp16 numbers (README.md:245-249): disp+vel 25.8 s, disp-only 10.9 s
+(``--no-vel``).  Timing uses a readback barrier (``force_sync``)
 because ``block_until_ready`` is a no-op on tunneled PJRT backends.
 
 Prints ONE JSON line:
@@ -30,8 +31,9 @@ def main():
     p.add_argument("--ndiv", type=int, nargs=3, default=(4, 4, 8))
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--vel", action=argparse.BooleanOptionalAction, default=False,
-                   help="emulate velocities too (baseline: 25.8 s vs 10.9 s disp-only)")
+    p.add_argument("--vel", action=argparse.BooleanOptionalAction, default=True,
+                   help="emulate velocities too — the north-star metric is disp+vel "
+                        "(baseline: 25.8 s vs 10.9 s disp-only)")
     p.add_argument("--style", action="store_true", help="runtime-style model (no premodulation)")
     p.add_argument("--runtime", choices=("hierarchical", "subbox"), default="hierarchical",
                    help="hierarchical = overlap-minimal phase runtime (premodulated "

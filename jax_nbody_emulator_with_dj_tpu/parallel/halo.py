@@ -24,24 +24,36 @@ def _axis_size(axis_name: str) -> int:
 
 
 def halo_exchange_axis(local, halo: int, *, dim: int, axis_name: str):
-    """Pad one spatial dimension with the periodic neighbors' face slabs."""
+    """Pad one spatial dimension with the periodic neighbors' face slabs.
+
+    When the shard extent is smaller than the halo (large meshes at moderate
+    box sizes), the halo spans several mesh neighbors; the exchange then runs
+    one ``ppermute`` hop per neighbor distance k, taking the last/first
+    ``min(size, halo - (k-1)*size)`` voxels from the neighbor at distance k.
+    """
     n = _axis_size(axis_name)
     size = local.shape[dim]
-    if size < halo:
+    if halo > n * size:
         raise ValueError(
-            f"shard extent {size} along dim {dim} smaller than halo {halo}"
+            f"halo {halo} exceeds the global extent {n * size} along dim {dim}"
         )
-    lo_face = lax.slice_in_dim(local, size - halo, size, axis=dim)  # my last slabs
-    hi_face = lax.slice_in_dim(local, 0, halo, axis=dim)  # my first slabs
-    if n == 1:
-        # Single shard along this axis: periodic wrap onto myself.
-        lo_pad, hi_pad = lo_face, hi_face
-    else:
-        fwd = [(i, (i + 1) % n) for i in range(n)]  # send to right neighbor
-        bwd = [(i, (i - 1) % n) for i in range(n)]  # send to left neighbor
-        lo_pad = lax.ppermute(lo_face, axis_name, fwd)  # from left neighbor
-        hi_pad = lax.ppermute(hi_face, axis_name, bwd)  # from right neighbor
-    return jnp.concatenate([lo_pad, local, hi_pad], axis=dim)
+    hops = -(-halo // size)  # ceil: number of neighbor distances the halo spans
+    lo_parts, hi_parts = [], []
+    for k in range(1, hops + 1):
+        take = min(size, halo - (k - 1) * size)
+        lo_face = lax.slice_in_dim(local, size - take, size, axis=dim)
+        hi_face = lax.slice_in_dim(local, 0, take, axis=dim)
+        if n == 1:
+            # Single shard along this axis: periodic wrap onto myself.
+            lo_pad, hi_pad = lo_face, hi_face
+        else:
+            fwd = [(i, (i + k) % n) for i in range(n)]  # send k to the right
+            bwd = [(i, (i - k) % n) for i in range(n)]  # send k to the left
+            lo_pad = lax.ppermute(lo_face, axis_name, fwd)  # from k left
+            hi_pad = lax.ppermute(hi_face, axis_name, bwd)  # from k right
+        lo_parts.insert(0, lo_pad)  # farther neighbors sit farther out
+        hi_parts.append(hi_pad)
+    return jnp.concatenate(lo_parts + [local] + hi_parts, axis=dim)
 
 
 def halo_exchange(local, halo: int, *, spatial_dims=(1, 2, 3), axis_names=("x", "y", "z")):

@@ -83,10 +83,10 @@ class ShardedBoxProcessor:
         for s, m, local in zip(config.size, mesh_shape, self.shard_size):
             if s % m:
                 raise ValueError(f"size {config.size} not divisible by mesh {mesh_shape}")
-            if local < config.halo:
-                raise ValueError(
-                    f"shard extent {local} < halo {config.halo}; use a smaller mesh axis"
-                )
+            # shard extent < halo is fine (multi-hop exchange); the halo can
+            # never exceed the global periodic extent, though.
+            if config.halo > s:
+                raise ValueError(f"halo {config.halo} > global extent {s}")
         self.tile_size = tuple(
             s // t for s, t in zip(self.shard_size, config.tiles_per_shard)
         )

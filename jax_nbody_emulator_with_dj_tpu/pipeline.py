@@ -62,6 +62,7 @@ def run_lpt_emulator_pipeline(
     boxsize: float = 1000.0,
     z: float = 0.0,
     cosmo: dict | None = None,
+    pk_table=None,
     params: dict | None = None,
     load_params: bool = True,
     premodulate: bool = True,
@@ -88,6 +89,10 @@ def run_lpt_emulator_pipeline(
         boxsize: box side [Mpc/h].
         z: output redshift.
         cosmo: dict(Om, Ob, h, ns, sigma8); default Quijote fiducial.
+        pk_table: external linear z=0 P(k) replacing the in-package EH98 —
+            a path to a CLASS-style table (see
+            :func:`science.linear_pk.load_pk_table`) or a (k, P) array pair;
+            the reference's CLASS pathway (``scripts/core.py:263-302``).
         params / load_params: emulator weights (see ``create_emulator``).
         premodulate: fold style at (z, Om) (production default).
         compute_vel: also emulate velocities.
@@ -107,11 +112,21 @@ def run_lpt_emulator_pipeline(
 
     # --- 1. Linear field -------------------------------------------------
     t0 = time.perf_counter()
-    k_tab = jnp.logspace(-4, 2, 512)
-    p_tab = eisenstein_hu_pk(
-        k_tab, Om=cosmo["Om"], Ob=cosmo["Ob"], h=cosmo["h"],
-        ns=cosmo["ns"], sigma8=cosmo["sigma8"],
-    )
+    if pk_table is not None:
+        if isinstance(pk_table, (str, Path)):
+            from .science.linear_pk import load_pk_table
+
+            k_tab, p_tab = load_pk_table(pk_table)
+        else:
+            k_tab, p_tab = pk_table
+        k_tab = jnp.asarray(k_tab, jnp.float32)
+        p_tab = jnp.asarray(p_tab, jnp.float32)
+    else:
+        k_tab = jnp.logspace(-4, 2, 512)
+        p_tab = eisenstein_hu_pk(
+            k_tab, Om=cosmo["Om"], Ob=cosmo["Ob"], h=cosmo["h"],
+            ns=cosmo["ns"], sigma8=cosmo["sigma8"],
+        )
     if input_delta is not None:
         delta_lin = jnp.asarray(input_delta, jnp.float32)
         if delta_lin.shape[0] != n_part:
@@ -187,6 +202,9 @@ def run_lpt_emulator_pipeline(
         "boxsize": boxsize,
         "z": z,
         "cosmology": cosmo,
+        "pk_table": str(pk_table) if isinstance(pk_table, (str, Path)) else (
+            "external-array" if pk_table is not None else "eh98"
+        ),
         "growth_factor": dz,
         "premodulate": premodulate,
         "compute_vel": compute_vel,

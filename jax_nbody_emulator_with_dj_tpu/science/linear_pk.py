@@ -128,3 +128,40 @@ def pk_table(boxsize: float, n: int, **cosmo):
     kny = kf * (n // 2)
     k = jnp.logspace(np.log10(kf * 0.5), np.log10(kny * 2.0), 512)
     return k, eisenstein_hu_pk(k, **cosmo)
+
+
+def load_pk_table(path):
+    """Load an external linear P(k) table (k [h/Mpc], P [(Mpc/h)^3]).
+
+    The reference pipeline consumes CLASS ``.dat`` tables
+    (``scripts/core.py:263-302``); this accepts the same two-column text
+    format (comment lines ignored, first two numeric columns = k, P) plus
+    ``.npy`` / ``.npz`` arrays of shape (2, N) or (N, 2).
+
+    Returns:
+        (k, P) as float64 numpy arrays, ascending in k.
+    """
+    from pathlib import Path
+
+    path = Path(path)
+    if path.suffix == ".npz":
+        with np.load(path) as f:
+            if "k" in f and ("P" in f or "pk" in f):
+                arr = np.stack([f["k"], f["P" if "P" in f else "pk"]])
+            else:
+                arr = f[f.files[0]]
+    elif path.suffix == ".npy":
+        arr = np.load(path)
+    else:  # text (CLASS .dat, .txt, .csv)
+        delim = "," if path.suffix == ".csv" else None
+        arr = np.loadtxt(path, comments=["#", "%"], delimiter=delim)
+    arr = np.asarray(arr, np.float64)
+    if arr.ndim != 2:
+        raise ValueError(f"P(k) table {path} must be 2-D, got shape {arr.shape}")
+    if arr.shape[0] not in (2,) and arr.shape[1] >= 2:
+        arr = arr.T  # (N, cols) -> (cols, N)
+    k, p = arr[0], arr[1]
+    if k.size < 2 or np.any(k <= 0) or np.any(p < 0):
+        raise ValueError(f"invalid P(k) table in {path}")
+    order = np.argsort(k)
+    return k[order], p[order]

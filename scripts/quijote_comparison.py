@@ -24,6 +24,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from jax_nbody_emulator_with_dj_tpu.utils.platform import apply_jax_platforms_env
+
+apply_jax_platforms_env()  # honor JAX_PLATFORMS even with pre-registered plugins
+
 
 def load_field(path: str) -> np.ndarray:
     p = Path(path)
@@ -48,6 +52,9 @@ def parse_args():
     p.add_argument("--h", dest="h_param", type=float, default=0.6711)
     p.add_argument("--ns", type=float, default=0.9624)
     p.add_argument("--sigma8", type=float, default=0.834)
+    p.add_argument("--pk-table", type=str, default=None,
+                   help="external linear z=0 P(k) table (CLASS .dat / .npy / .npz) "
+                        "replacing the in-package EH98")
     p.add_argument("--ndiv", type=int, nargs=3, default=(4, 4, 8))
     p.add_argument("--precision", choices=("bf16", "f16", "f32"), default="bf16")
     p.add_argument("--mas-worder", type=int, default=2)
@@ -104,6 +111,7 @@ def main():
         boxsize=args.boxsize,
         z=args.z,
         cosmo=cosmo,
+        pk_table=args.pk_table,
         params=params,
         load_params=load_params_flag,
         premodulate=True,

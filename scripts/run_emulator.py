@@ -23,6 +23,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from jax_nbody_emulator_with_dj_tpu.utils.platform import apply_jax_platforms_env
+
+apply_jax_platforms_env()  # honor JAX_PLATFORMS even with pre-registered plugins
+
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
@@ -42,6 +46,9 @@ def parse_args():
     p.add_argument("--no-style", dest="premodulate", action="store_true",
                    help="premodulate (fixed cosmology) instead of runtime style")
     p.add_argument("--compute-vel", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--pk-table", type=str, default=None,
+                   help="external linear z=0 P(k) table (CLASS .dat / .npy / .npz) "
+                        "replacing the in-package EH98")
     p.add_argument("--mas-worder", type=int, default=2, choices=(1, 2, 3, 4))
     p.add_argument("--deconvolve", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--num-sims", type=int, default=1)
@@ -56,7 +63,8 @@ def parse_args():
     return p.parse_args()
 
 
-def make_plots(out_dir: Path, delta_lin, delta_lpt, delta_emu, boxsize, cosmo, z):
+def make_plots(out_dir: Path, delta_lin, delta_lpt, delta_emu, boxsize, cosmo, z,
+               pk_table=None):
     import matplotlib
 
     matplotlib.use("Agg")
@@ -90,11 +98,19 @@ def make_plots(out_dir: Path, delta_lin, delta_lpt, delta_emu, boxsize, cosmo, z
         k, pk, _ = power_spectrum(f, boxsize)
         ax.loglog(np.asarray(k), np.asarray(pk), label=label)
     kk = np.asarray(k)
-    p_lin = np.asarray(
-        eisenstein_hu_pk(kk, Om=cosmo["Om"], Ob=cosmo["Ob"], h=cosmo["h"],
-                         ns=cosmo["ns"], sigma8=cosmo["sigma8"])
-    ) * dz**2
-    ax.loglog(kk, p_lin, "k--", label=f"linear EH98 (z={z})")
+    if pk_table is not None:
+        from jax_nbody_emulator_with_dj_tpu.science.linear_pk import load_pk_table
+
+        kt, pt = load_pk_table(pk_table)
+        p_lin = np.exp(np.interp(np.log(kk), np.log(kt), np.log(pt))) * dz**2
+        lin_label = f"linear table (z={z})"
+    else:
+        p_lin = np.asarray(
+            eisenstein_hu_pk(kk, Om=cosmo["Om"], Ob=cosmo["Ob"], h=cosmo["h"],
+                             ns=cosmo["ns"], sigma8=cosmo["sigma8"])
+        ) * dz**2
+        lin_label = f"linear EH98 (z={z})"
+    ax.loglog(kk, p_lin, "k--", label=lin_label)
     ax.set_xlabel("k [h/Mpc]")
     ax.set_ylabel("P(k) [(Mpc/h)^3]")
     ax.legend()
@@ -126,8 +142,10 @@ def main():
         delta_lpt = np.load(out_dir / "delta_lpt.npy")
         delta_emu = np.load(out_dir / "delta_emu.npy")
         meta = json.loads((out_dir / "metadata.json").read_text())
+        saved_pk = meta.get("pk_table")
         make_plots(out_dir, delta_lin, delta_lpt, delta_emu,
-                   meta["boxsize"], meta["cosmology"], meta["z"])
+                   meta["boxsize"], meta["cosmology"], meta["z"],
+                   pk_table=saved_pk if saved_pk not in (None, "eh98", "external-array") else None)
         print(f"plots written to {out_dir}")
         return
 
@@ -156,6 +174,7 @@ def main():
         boxsize=args.boxsize,
         z=args.z,
         cosmo=cosmo,
+        pk_table=args.pk_table,
         params=params,
         load_params=load_params,
         premodulate=args.premodulate,
@@ -174,7 +193,7 @@ def main():
 
     if args.plots:
         make_plots(out_dir, result.delta_lin, result.delta_lpt, result.delta_emu,
-                   args.boxsize, cosmo, args.z)
+                   args.boxsize, cosmo, args.z, pk_table=args.pk_table)
         print(f"plots written to {out_dir}")
 
 

@@ -17,6 +17,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from jax_nbody_emulator_with_dj_tpu.utils.platform import apply_jax_platforms_env
+
+apply_jax_platforms_env()  # honor JAX_PLATFORMS even with pre-registered plugins
+
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)

@@ -88,3 +88,30 @@ class TestPipeline:
     def test_fiducial_constants(self):
         assert QUIJOTE_FIDUCIAL["Om"] == 0.3175
         assert QUIJOTE_FIDUCIAL["sigma8"] == 0.834
+
+    def test_external_pk_table(self, params, tmp_path):
+        """A CLASS-style (k, P) file replaces EH98 end-to-end (reference
+        pathway: scripts/core.py:263-302)."""
+        from jax_nbody_emulator_with_dj_tpu.science.linear_pk import (
+            eisenstein_hu_pk,
+            load_pk_table,
+        )
+
+        k = np.logspace(-4, 2, 256)
+        pk = np.asarray(eisenstein_hu_pk(k)) * 2.0  # distinguishable amplitude
+        tab = tmp_path / "pk.dat"
+        np.savetxt(tab, np.c_[k, pk], header="k [h/Mpc]  P [(Mpc/h)^3]")
+        kk, pp = load_pk_table(tab)
+        np.testing.assert_allclose(kk, k)
+
+        common = dict(
+            seed=3, n_part=16, boxsize=1000.0, z=0.0, params=params,
+            load_params=False, ndiv=(1, 1, 1), precision="f32",
+            compute_vel=False, mid_chan=4,
+        )
+        res_tab = run_lpt_emulator_pipeline(pk_table=str(tab), **common)
+        res_eh = run_lpt_emulator_pipeline(**common)
+        assert res_tab.metadata["pk_table"] == str(tab)
+        # 2x P(k) -> sqrt(2)x field amplitude for the same seed
+        ratio = res_tab.delta_lin.std() / res_eh.delta_lin.std()
+        assert np.isclose(ratio, np.sqrt(2.0), rtol=0.05)

@@ -111,6 +111,36 @@ class TestHaloExchange:
                     ]
                     np.testing.assert_allclose(got_blk, blk, rtol=1e-6)
 
+    @pytest.mark.parametrize("mesh_shape,halo", [((4, 1, 1), 6), ((8, 1, 1), 5), ((4, 2, 1), 9)])
+    def test_multihop_matches_periodic_pad(self, mesh_shape, halo):
+        """Halo deeper than the shard extent spans several ppermute hops."""
+        n = (16, 16, 16)
+        mesh = make_mesh(mesh_shape)
+        spec = P(None, "x", "y", "z")
+        vol = jax.random.normal(jax.random.key(11), (3,) + n)
+
+        f = jax.jit(
+            jax.shard_map(
+                lambda v: halo_exchange(v, halo),
+                mesh=mesh,
+                in_specs=spec,
+                out_specs=spec,
+                check_vma=False,
+            )
+        )
+        got_np = np.asarray(f(vol))
+        vol_np = np.asarray(vol)
+        shard = tuple(s // m for s, m in zip(n, mesh_shape))
+        padded = tuple(s + 2 * halo for s in shard)
+        for ijk in np.ndindex(*mesh_shape):
+            sel = [slice(None)]
+            blk_idx = []
+            for ax, (i, s, g) in enumerate(zip(ijk, shard, n)):
+                sel.append(slice(padded[ax] * i, padded[ax] * (i + 1)))
+                blk_idx.append(np.arange(s * i - halo, s * (i + 1) + halo) % g)
+            blk = vol_np[:, blk_idx[0][:, None, None], blk_idx[1][None, :, None], blk_idx[2][None, None, :]]
+            np.testing.assert_allclose(got_np[tuple(sel)], blk, rtol=1e-6)
+
 
 class TestShardedProcessor:
     @pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (4, 2, 1), (4, 1, 1), (1, 1, 1)])
@@ -147,6 +177,22 @@ class TestShardedProcessor:
         np.testing.assert_allclose(d, d1, rtol=2e-4, atol=2e-5)
         scale = np.abs(v1).max()
         np.testing.assert_allclose(v / scale, v1 / scale, rtol=2e-4, atol=2e-4)
+
+    def test_shard_extent_below_halo(self, style_params):
+        """Multi-hop exchange: 8-voxel shards under a 12-voxel halo."""
+        model = StyleNBodyEmulatorCore(**CFG)
+        size = (32, 16, 16)
+        rng = np.random.default_rng(3)
+        small_box = rng.normal(size=(3,) + size).astype(np.float32)
+        scfg = SubboxConfig(size=size, ndiv=(1, 1, 1), padding=((HALO, HALO),) * 3)
+        expected = SubboxProcessor(model, style_params, scfg).process_box(
+            small_box, 0.5, 0.3
+        )
+        mesh = make_mesh((4, 1, 1))  # 8-voxel shard extent along x < halo 12
+        cfg = ShardedBoxConfig(size=size, dtype=jnp.float32, halo=HALO)
+        proc = ShardedBoxProcessor(model, style_params, mesh, cfg)
+        out = proc.process_box(small_box, 0.5, 0.3, as_numpy=True)
+        np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-5)
 
     def test_output_stays_sharded(self, style_params, box):
         model = StyleNBodyEmulatorCore(**CFG)
