@@ -26,7 +26,15 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv3d import conv3d, conv3d_up, leaky_relu, leaky_relu_with_tangent
+from ..ops.conv3d import (
+    conv1x1,
+    conv3d,
+    conv3d_up,
+    conv_down2,
+    conv_up2,
+    leaky_relu,
+    leaky_relu_with_tangent,
+)
 from ..ops.style import style_modulation
 
 # ---------------------------------------------------------------------------
@@ -42,9 +50,19 @@ _KIND = {
 
 
 def _run_conv(x, w, kind, in_fmt="NDHWC", out_fmt="NDHWC"):
+    # The k=1 / k=2-resample convs are pure matmuls; XLA's TPU conv emitter
+    # runs them an order of magnitude below the bandwidth bound, so they use
+    # the dot_general forms (ops/conv3d.py).  Only the k=3 convs (and mixed
+    # boundary formats) go through lax.conv_general_dilated.
     k = _KIND[kind]
     if k["up"]:
+        if in_fmt == out_fmt == "NDHWC":
+            return conv_up2(x, w)
         return conv3d_up(x, w, in_fmt=in_fmt, out_fmt=out_fmt)
+    if kind == "skip":
+        return conv1x1(x, w, in_fmt=in_fmt, out_fmt=out_fmt)
+    if kind == "down" and in_fmt == out_fmt == "NDHWC":
+        return conv_down2(x, w)
     return conv3d(x, w, stride=k["stride"], in_fmt=in_fmt, out_fmt=out_fmt)
 
 

@@ -1,5 +1,15 @@
-from .mesh import make_mesh
+from .mesh import make_mesh, mesh_for_devices
 from .halo import halo_exchange
 from .sharded_box import ShardedBoxConfig, ShardedBoxProcessor
+from .distributed import initialize, make_sharded_box, box_spec
 
-__all__ = ["make_mesh", "halo_exchange", "ShardedBoxConfig", "ShardedBoxProcessor"]
+__all__ = [
+    "make_mesh",
+    "mesh_for_devices",
+    "halo_exchange",
+    "ShardedBoxConfig",
+    "ShardedBoxProcessor",
+    "initialize",
+    "make_sharded_box",
+    "box_spec",
+]

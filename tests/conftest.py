@@ -27,3 +27,12 @@ jax.config.update("jax_enable_x64", False)
 # This JAX build's default fp32 matmul/conv uses a reduced-precision fast
 # path (~2e-3 rel error); tests need deterministic fp32 numerics.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Everything not marked ``slow`` is the fast smoke tier (``-m fast``)."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)

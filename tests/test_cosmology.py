@@ -28,11 +28,13 @@ class TestGrowthFactor:
         for om in [0.1, 0.25, 0.3, 0.3175, 0.5, 0.9]:
             assert np.isclose(float(growth_factor(0.0, om)), 1.0, atol=1e-5)
 
+    @pytest.mark.slow
     def test_monotonically_decreasing_in_z(self):
         z = jnp.linspace(0.0, 10.0, 64)
         d = np.asarray(growth_factor(z, 0.3))
         assert np.all(np.diff(d) < 0)
 
+    @pytest.mark.slow
     def test_einstein_de_sitter_limit(self):
         # Om -> 1: D(z) = 1 / (1 + z)
         z = jnp.array([0.0, 0.5, 1.0, 3.0, 9.0])
@@ -45,6 +47,7 @@ class TestGrowthFactor:
         d2 = float(growth_factor(100.0, 0.3))
         assert np.isclose(d1 / d2, 101.0 / 51.0, rtol=1e-3)
 
+    @pytest.mark.slow
     def test_batched_matches_scalar(self):
         z = jnp.array([0.0, 0.5, 1.0, 2.0])
         om = jnp.array([0.2, 0.3, 0.4, 0.3175])
@@ -52,15 +55,18 @@ class TestGrowthFactor:
         scalar = np.array([float(growth_factor(zi, oi)) for zi, oi in zip(z, om)])
         np.testing.assert_allclose(batched, scalar, rtol=1e-6)
 
+    @pytest.mark.slow
     def test_vmap(self):
         z = jnp.linspace(0.0, 3.0, 8)
         out = jax.vmap(lambda zz: growth_factor(zz, 0.3))(z)
         np.testing.assert_allclose(np.asarray(out), np.asarray(growth_factor(z, 0.3)), rtol=1e-6)
 
+    @pytest.mark.slow
     def test_shape_preserved(self):
         z = jnp.zeros((2, 3))
         assert growth_factor(z, 0.3).shape == (2, 3)
 
+    @pytest.mark.slow
     def test_branch_continuity_near_x0(self):
         # Om -> 1 puts the hypergeometric argument near 0; check continuity.
         oms = jnp.array([0.999, 0.9999, 0.99999])
@@ -85,6 +91,7 @@ class TestHubbleRate:
 
 class TestDerivatives:
     @pytest.mark.parametrize("om", [0.25, 0.3, 0.4])
+    @pytest.mark.slow
     def test_dlogD_dz_matches_finite_difference(self, om):
         z = np.array([0.1, 0.5, 1.0, 2.0], dtype=np.float32)
         eps = 1e-3
@@ -103,6 +110,7 @@ class TestDerivatives:
         ) / (2 * eps)
         np.testing.assert_allclose(np.asarray(dlogH_dz(z, 0.3)), fd, rtol=1e-3, atol=1e-5)
 
+    @pytest.mark.slow
     def test_growth_rate_eds_limit(self):
         # Om -> 1: f = 1 exactly.
         f = np.asarray(growth_rate(jnp.array([0.0, 1.0, 5.0]), 0.99999))
@@ -143,10 +151,12 @@ class TestNormalizations:
         )
         assert np.isclose(float(acc_norm(z, om)), expected, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_vel_norm_positive(self):
         z = jnp.linspace(0.0, 3.0, 16)
         assert np.all(np.asarray(vel_norm(z, 0.3)) > 0)
 
+    @pytest.mark.slow
     def test_batched(self):
         z = jnp.array([0.0, 0.5, 1.0])
         om = jnp.array([0.3, 0.3, 0.3])
@@ -168,6 +178,7 @@ class TestTransforms:
         fd = (float(growth_factor(0.501, 0.3)) - float(growth_factor(0.499, 0.3))) / 0.002
         assert np.isclose(float(tangent), fd, rtol=1e-3)
 
+    @pytest.mark.slow
     def test_all_finite_over_grid(self):
         z = jnp.linspace(0.0, 10.0, 11)[:, None]
         om = jnp.linspace(0.1, 0.9, 9)[None, :]

@@ -41,6 +41,7 @@ class TestFactory:
             (True, True, NBodyEmulatorVelCore),
         ],
     )
+    @pytest.mark.slow
     def test_model_selection(self, style_params, premod, vel, cls):
         em = create_emulator(
             premodulate=premod,
@@ -79,6 +80,7 @@ class TestFactory:
 
 
 class TestBundle:
+    @pytest.mark.slow
     def test_apply_style(self, style_params):
         em = create_emulator(params=style_params, compute_vel=False, **CFG)
         x = jax.random.normal(KEY, (1, 3, 32, 32, 32))
@@ -88,6 +90,7 @@ class TestBundle:
         y2 = em(x, 0.5, 0.3)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-6)
 
+    @pytest.mark.slow
     def test_apply_vel_tuple(self, style_params):
         em = create_emulator(params=style_params, compute_vel=True, **CFG)
         x = jax.random.normal(KEY, (1, 3, 32, 32, 32))
@@ -105,6 +108,7 @@ class TestBundle:
         y_p = em_p.apply(x, 0.5, 0.3)
         np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_p), rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.slow
     def test_process_box_integration(self, style_params):
         cfg = SubboxConfig(size=(32,) * 3, ndiv=(2,) * 3, padding=PAD)
         em = create_emulator(

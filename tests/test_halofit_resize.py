@@ -57,6 +57,7 @@ class TestHalofit:
 
 
 class TestFourierUpsample:
+    @pytest.mark.slow
     def test_preserves_all_power(self):
         k_t = jnp.logspace(-3, 1.5, 256)
         p_t = eisenstein_hu_pk(k_t)
@@ -73,6 +74,7 @@ class TestFourierUpsample:
         k_f, p_f, _ = power_spectrum(fine, 256.0, nbins=16)
         np.testing.assert_allclose(np.asarray(p_f[:6]), np.asarray(p_c[:6]), rtol=0.05)
 
+    @pytest.mark.slow
     def test_grid_points_interpolated(self):
         # even-factor zero-pad interpolation passes through original samples
         k_t = jnp.logspace(-3, 1.5, 64)

@@ -45,6 +45,7 @@ def subbox_reference(style_params, box):
 
 
 class TestHierarchicalDisp:
+    @pytest.mark.slow
     def test_matches_subbox(self, style_params, box, subbox_reference):
         params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
         model = NBodyEmulatorCore(mid_chan=MID)
@@ -57,6 +58,7 @@ class TestHierarchicalDisp:
         assert out.shape == (3, N, N, N)
         np.testing.assert_allclose(out, subbox_reference, rtol=2e-4, atol=2e-5)
 
+    @pytest.mark.slow
     def test_slab_and_tile_invariance(self, style_params, box):
         params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
         model = NBodyEmulatorCore(mid_chan=MID)
@@ -71,6 +73,7 @@ class TestHierarchicalDisp:
 
 
 class TestHierarchicalVel:
+    @pytest.mark.slow
     def test_matches_subbox_vel(self, style_params, box):
         params = modulate_emulator_parameters_vel(style_params, 0.5, 0.3175)
         model = NBodyEmulatorVelCore(mid_chan=MID)

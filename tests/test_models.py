@@ -124,6 +124,7 @@ class TestModelShapes:
         y2 = m.apply(style_params, x, 0.3, 1.0)
         assert not np.allclose(np.asarray(y1), np.asarray(y2))
 
+    @pytest.mark.slow
     def test_bf16_path(self, x, style_params):
         m = StyleNBodyEmulatorCore(**CFG)
         y = m.apply(style_params, x.astype(jnp.bfloat16), 0.3, 0.8)

@@ -21,6 +21,7 @@ def params():
 
 
 class TestPipeline:
+    @pytest.mark.slow
     def test_seed_mode_end_to_end(self, params, tmp_path_factory):
         out = tmp_path_factory.mktemp("pipe")
         res = run_lpt_emulator_pipeline(
@@ -69,6 +70,7 @@ class TestPipeline:
         # delta-mode must start from the provided field
         np.testing.assert_allclose(res.delta_lin, delta, atol=1e-6)
 
+    @pytest.mark.slow
     def test_lpt_density_tracks_linear_at_z(self, params):
         """LPT density amplitude scales with D(z)."""
         res0 = run_lpt_emulator_pipeline(
@@ -89,6 +91,7 @@ class TestPipeline:
         assert QUIJOTE_FIDUCIAL["Om"] == 0.3175
         assert QUIJOTE_FIDUCIAL["sigma8"] == 0.834
 
+    @pytest.mark.slow
     def test_external_pk_table(self, params, tmp_path):
         """A CLASS-style (k, P) file replaces EH98 end-to-end (reference
         pathway: scripts/core.py:263-302)."""

@@ -22,7 +22,10 @@ import pytest
 REF_SRC = "/root/reference/src"
 ref_available = os.path.isdir(os.path.join(REF_SRC, "jax_nbody_emulator"))
 
-pytestmark = pytest.mark.skipif(not ref_available, reason="reference checkout not available")
+pytestmark = [
+    pytest.mark.skipif(not ref_available, reason="reference checkout not available"),
+    pytest.mark.slow,  # imports + runs the reference models (minutes on CPU)
+]
 
 if ref_available:
     sys.path.insert(0, REF_SRC)

@@ -20,7 +20,9 @@ from jax_nbody_emulator_with_dj_tpu.parallel import (
     ShardedBoxConfig,
     ShardedBoxProcessor,
     halo_exchange,
+    initialize,
     make_mesh,
+    make_sharded_box,
 )
 from jax_nbody_emulator_with_dj_tpu.parallel.mesh import _factor3, mesh_for_devices
 from jax_nbody_emulator_with_dj_tpu.subbox import SubboxConfig, SubboxProcessor
@@ -142,6 +144,42 @@ class TestHaloExchange:
             np.testing.assert_allclose(got_np[tuple(sel)], blk, rtol=1e-6)
 
 
+class TestDistributed:
+    def test_initialize_single_process_noop(self):
+        initialize()  # must not raise or spawn anything single-process
+        assert jax.process_count() == 1
+
+    def test_make_sharded_box_assembles_global(self):
+        """Per-shard callbacks reproduce the global array, sharded."""
+        mesh = make_mesh((2, 2, 2))
+        size = (8, 8, 8)
+        rng = np.random.default_rng(7)
+        global_box = rng.normal(size=(3,) + size).astype(np.float32)
+        calls = []
+
+        def block(idx):
+            calls.append(idx)
+            return global_box[idx]
+
+        arr = make_sharded_box(mesh, size, block)
+        assert len(arr.sharding.device_set) == 8
+        np.testing.assert_array_equal(np.asarray(arr), global_box)
+        # one block per shard, each a local (3, 4, 4, 4) slice
+        assert all(global_box[i].shape == (3, 4, 4, 4) for i in calls)
+
+    def test_make_sharded_box_feeds_processor(self, style_params):
+        mesh = make_mesh((2, 1, 1))
+        size = (32, 16, 16)
+        rng = np.random.default_rng(8)
+        box = rng.normal(size=(3,) + size).astype(np.float32)
+        cfg = ShardedBoxConfig(size=size, dtype=jnp.float32, halo=HALO)
+        proc = ShardedBoxProcessor(StyleNBodyEmulatorCore(**CFG), style_params, mesh, cfg)
+        arr = make_sharded_box(mesh, size, lambda idx: box[idx], dtype=np.float32)
+        out_cb = proc.process_box(jax.device_put(arr, proc._sharding), 0.5, 0.3, as_numpy=True)
+        out_np = proc.process_box(box, 0.5, 0.3, as_numpy=True)
+        np.testing.assert_allclose(out_cb, out_np, rtol=1e-6)
+
+
 class TestShardedProcessor:
     @pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (4, 2, 1), (4, 1, 1), (1, 1, 1)])
     def test_matches_single_device(self, style_params, box, reference_output, mesh_shape):
@@ -164,6 +202,7 @@ class TestShardedProcessor:
         out = proc.process_box(box, 0.5, 0.3, as_numpy=True)
         np.testing.assert_allclose(out, reference_output, rtol=2e-4, atol=2e-5)
 
+    @pytest.mark.slow
     def test_velocity_sharded(self, style_params, box):
         model = StyleNBodyEmulatorVelCore(**CFG)
         mesh = make_mesh((2, 2, 2))

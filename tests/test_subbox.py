@@ -86,6 +86,7 @@ class TestProcessorModelMatrix:
         assert out.dtype == np.float32
         assert np.all(np.isfinite(out))
 
+    @pytest.mark.slow
     def test_style_vel(self, style_params, box):
         model = StyleNBodyEmulatorVelCore(**CFG)
         proc = SubboxProcessor(model, style_params, make_config())
@@ -100,6 +101,7 @@ class TestProcessorModelMatrix:
         out = proc.process_box(box, z=0.5, Om=0.3)
         assert out.shape == (3, 32, 32, 32)
 
+    @pytest.mark.slow
     def test_premod_vel(self, style_params, box):
         params = modulate_emulator_parameters_vel(style_params, 0.5, 0.3)
         model = NBodyEmulatorVelCore(**CFG)
@@ -107,6 +109,7 @@ class TestProcessorModelMatrix:
         dis, vel = proc.process_box(box, z=0.5, Om=0.3)
         assert dis.shape == vel.shape == (3, 32, 32, 32)
 
+    @pytest.mark.slow
     def test_style_equals_premod(self, style_params, box):
         m1 = StyleNBodyEmulatorCore(**CFG)
         out1 = SubboxProcessor(m1, style_params, make_config()).process_box(box, 0.5, 0.3)
@@ -117,6 +120,7 @@ class TestProcessorModelMatrix:
 
 
 class TestProcessorSemantics:
+    @pytest.mark.slow
     def test_matches_direct_apply_single_subbox(self, style_params, box):
         """ndiv=1: process_box == model.apply on the wrap-padded box."""
         model = StyleNBodyEmulatorCore(**CFG)
@@ -129,6 +133,7 @@ class TestProcessorSemantics:
         direct = model.apply(style_params, jnp.asarray(padded)[None], 0.3, dz)
         np.testing.assert_allclose(out, np.asarray(direct[0]), rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.slow
     def test_subdivision_invariance(self, style_params, box):
         """Different ndiv must give identical results (VALID convs + exact halos)."""
         model = StyleNBodyEmulatorCore(**CFG)
@@ -205,6 +210,7 @@ class TestDtypeMatrix:
         assert out.dtype == output_dtype
         assert np.all(np.isfinite(out.astype(np.float32)))
 
+    @pytest.mark.slow
     def test_bf16_close_to_f32(self, style_params, box):
         model = StyleNBodyEmulatorCore(**CFG)
         out32 = SubboxProcessor(model, style_params, make_config()).process_box(box, 0.5, 0.3)
