@@ -14,22 +14,25 @@ runtime exploits the U-Net's structure to cut the overhead to ~1.3x:
     negligible while memory stays bounded.
   Phase 3 (tiled final decode): per output tile, y0 is recomputed from the
     input box (halo 8) and combined with an up_r0 slice of the phase-2
-    buffer through conv_r00/conv_r01 (halo 4) — small halos because only
-    four convs separate these inputs from the output.
+    buffer through conv_r00/conv_r01 (halo 4 [3 unpacked]) — small halos
+    because only four convs separate these inputs from the output.
 
 All tiles are anchored on the global grid with even offsets at every level,
 which makes this runtime equivalent (up to fp reordering) to the subbox
 decomposition — asserted in tests.  Each phase is a single jitted fori_loop
-with donated output buffers; persistent level-1 volumes live NCDHW so the
-64-channel bf16 buffers avoid the 2x 128-lane padding; inputs are expected
-device-resident.
+with donated output buffers; inputs are expected device-resident.
+
+**Packed execution (default).**  The 64-channel interior runs space-to-depth
+packed (``ops/s2d.py``): activations keep shape (B, D, H, W/2, 2C) so every
+MXU operand is 128 lanes wide — measured 1.45x over the unpacked convs on a
+v5e.  Weights are pre-packed once at processor build.  The level-1 buffers
+store the packed channels first, (1, 2C, D/2, H/2, W/4), which both avoids
+the channels-last 128-lane padding and keeps the minor dim a multiple of
+128.  ``HierarchicalConfig(packed=False)`` falls back to the unpacked path
+(equivalence asserted in tests).
 
 Supports the premodulated displacement and displacement+velocity models
 (the production configurations).  512^3 disp+vel fits a 16 GB chip.
-
-Measured (v5e, bf16, 512^3, compile excluded): disp 17.9-18.8 s,
-disp+vel 50.2 s — vs the subbox runtime's ~28 s/70 s of pure tile compute
-plus its 5.4x halo-recompute FLOPs.
 """
 
 from __future__ import annotations
@@ -44,11 +47,18 @@ from .cosmology import growth_factor, vel_norm
 from .models.blocks import (
     _center_crop,
     apply_resample_block,
+    apply_resample_block_packed,
     apply_resample_block_vel,
+    apply_resample_block_vel_packed,
     apply_resnet_block,
+    apply_resnet_block_packed,
     apply_resnet_block_vel,
+    apply_resnet_block_vel_packed,
+    pack_resample_params,
+    pack_resnet_params,
 )
 from .models.cores import NBodyEmulatorCore, NBodyEmulatorVelCore
+from .ops import s2d
 
 
 def _wrap_pad(x, pad, axes=(1, 2, 3)):
@@ -68,6 +78,7 @@ class HierarchicalConfig:
     dtype: jnp.dtype = jnp.bfloat16
     output_dtype: np.dtype = np.float16
     in_chan: int = 3
+    packed: bool = True  # space-to-depth packed interior (see module doc)
 
     def __post_init__(self):
         self.size = tuple(int(s) for s in self.size)
@@ -81,11 +92,24 @@ class HierarchicalConfig:
             if s % 8:
                 raise ValueError(f"size {self.size} must be divisible by 8 (3 levels)")
         if self.tile1 is None:
-            self.tile1 = min(64, min(self.size) // 2)
+            cap = min(64, min(self.size) // 2)
+            step = 8 if self.packed else 4
+            self.tile1 = next(
+                (m for m in range(cap - cap % step, 0, -step)
+                 if all((s // 2) % m == 0 for s in self.size)),
+                cap,
+            )
         if self.tile1 % 4 or any((s // 2) % self.tile1 for s in self.size):
             raise ValueError(
                 f"tile1 {self.tile1} must be a multiple of 4 dividing size/2"
             )
+        if self.packed:
+            # W-parity packing: stride-2 grids and cell-aligned tile slices
+            # need one extra factor of 2 in the W geometry.
+            if self.tile1 % 8:
+                raise ValueError(f"packed mode needs tile1 % 8 == 0, got {self.tile1}")
+            if self.tile[2] % 4:
+                raise ValueError(f"packed mode needs tile W % 4 == 0, got {self.tile}")
 
 
 class HierarchicalProcessor:
@@ -103,6 +127,11 @@ class HierarchicalProcessor:
         self.params = params
         self.config = config
         self.compute_vel = isinstance(model, NBodyEmulatorVelCore)
+        self._exec_params = (
+            {"params": self._pack_params(params["params"])}
+            if config.packed
+            else params
+        )
 
         # Each phase is ONE jitted program: a fori_loop whose body does
         # slice(s) from the source buffer, the phase network, and an
@@ -112,6 +141,29 @@ class HierarchicalProcessor:
         self._phase1 = jax.jit(self._phase1_all, donate_argnums=(2,))
         self._phase2 = jax.jit(self._phase2_all, donate_argnums=(2,))
         self._phase3 = jax.jit(self._phase3_all, donate_argnums=(3,))
+
+    def _pack_params(self, p):
+        """Pre-pack the interior layers' weights for packed execution."""
+        vel = self.compute_vel
+        pp = {"conv_l00": p["conv_l00"], "conv_r01": p["conv_r01"]}  # unpacked
+        for name in ("conv_l01", "conv_l1", "conv_l2", "conv_c"):
+            pp[name] = pack_resnet_params(p[name], "CACA", vel=vel)
+        for name in ("conv_r2", "conv_r1", "conv_r00"):
+            pp[name] = pack_resnet_params(p[name], "CACA", groups=2, vel=vel)
+        for name in ("down_l0", "down_l1", "down_l2"):
+            pp[name] = pack_resample_params(p[name], "DA", vel=vel)
+        for name in ("up_r2", "up_r1", "up_r0"):
+            pp[name] = pack_resample_params(p[name], "UA", vel=vel)
+        return pp
+
+    # Level-1 buffer channel count (packed buffers carry 2C) and W extent.
+    def _h1_shape(self):
+        cfg = self.config
+        mid = self.model.mid_chan
+        nd, nh, nw = cfg.size
+        if cfg.packed:
+            return (1, 2 * mid, nd // 2, nh // 2, nw // 4)
+        return (1, mid, nd // 2, nh // 2, nw // 2)
 
     def _tile_anchors(self, steps3):
         import itertools
@@ -154,7 +206,7 @@ class HierarchicalProcessor:
         )
         out = self._phase1_slab(params, slab)
         outs = out if self.compute_vel else (out,)
-        # level-1 buffers live NCDHW (see _wrap_slice_cfirst)
+        # level-1 buffers live channels-first (see _wrap_slice_cfirst)
         return tuple(
             jax.lax.dynamic_update_slice(
                 buf, jnp.moveaxis(o, -1, 1), (0, 0, d0 // 2, 0, 0)
@@ -163,31 +215,40 @@ class HierarchicalProcessor:
         )
 
     @staticmethod
-    def _wrap_slice_cfirst(buf, starts, size):
-        """Periodic tile slice of an NCDHW buffer, returned channels-last.
+    def _wrap_slice_cfirst(buf, starts, sizes):
+        """Periodic tile slice of a channels-first buffer, channels-last out.
 
-        The persistent level-1 buffers are stored NCDHW: channels-last bf16
-        C=64 arrays pad their minor dim to 128 lanes (2x HBM), which at
-        512^3-vel pushes the buffer set past a 16 GB chip.  Gathering with
-        mod indices also avoids materializing padded copies.
+        The persistent level-1 buffers are stored channels-first:
+        channels-last bf16 C=64 arrays pad their minor dim to 128 lanes
+        (2x HBM), which at 512^3-vel pushes the buffer set past a 16 GB
+        chip.  (Packed buffers carry 2C=128 channels and a W/4-cell minor
+        dim.)  Gathering with mod indices also avoids materializing padded
+        copies.
         """
-        for ax, st in zip((2, 3, 4), starts):
-            n = buf.shape[ax]
+        for ax, (st, size) in enumerate(zip(starts, sizes)):
+            n = buf.shape[ax + 2]
             idx = jnp.mod(jnp.arange(size) + st, n)
-            buf = jnp.take(buf, idx, axis=ax)
+            buf = jnp.take(buf, idx, axis=ax + 2)
         return jnp.moveaxis(buf, 1, -1)
 
     def _phase2_step(self, params, h1, start, r1_out):
-        m1 = self.config.tile1
+        cfg = self.config
+        m1 = cfg.tile1
         hm = self.PHASE2_MARGIN
-        starts = tuple(start[d] - hm for d in range(3))
-        if self.compute_vel:
-            t = tuple(self._wrap_slice_cfirst(h, starts, m1 + 2 * hm) for h in h1)
+        if cfg.packed:
+            starts = (start[0] - hm, start[1] - hm, (start[2] - hm) // 2)
+            sizes = (m1 + 2 * hm, m1 + 2 * hm, (m1 + 2 * hm) // 2)
+            s5 = (0, 0, start[0], start[1], start[2] // 2)
         else:
-            t = self._wrap_slice_cfirst(h1[0], starts, m1 + 2 * hm)
+            starts = tuple(start[d] - hm for d in range(3))
+            sizes = (m1 + 2 * hm,) * 3
+            s5 = (0, 0, start[0], start[1], start[2])
+        if self.compute_vel:
+            t = tuple(self._wrap_slice_cfirst(h, starts, sizes) for h in h1)
+        else:
+            t = self._wrap_slice_cfirst(h1[0], starts, sizes)
         out = self._phase2_tile(params, t)
         outs = out if self.compute_vel else (out,)
-        s5 = (0, 0, start[0], start[1], start[2])
         return tuple(
             jax.lax.dynamic_update_slice(buf, jnp.moveaxis(o, -1, 1), s5)
             for buf, o in zip(r1_out, outs)
@@ -201,14 +262,20 @@ class HierarchicalProcessor:
             boxp, (0, 0, a[0], a[1], a[2]),
             (1, cfg.in_chan, td + 16, th + 16, tw + 16),
         )
-        # Level-1 slices (halo 3) with periodic wrap gathers from the NCDHW
-        # buffers.  NB: tile extents differ per axis.
+        # Level-1 slices (halo 4 packed / 3 unpacked) with periodic wrap
+        # gathers from the channels-first buffers.
+        hm = self.PHASE3_R1_MARGIN_PACKED if cfg.packed else 3
+
         def r_slice(buf):
-            for ax, (ad, tsz) in enumerate(zip((a[0], a[1], a[2]), (td, th, tw))):
-                n = buf.shape[ax + 2]
-                idx = jnp.mod(jnp.arange(tsz // 2 + 6) + ad // 2 - 3, n)
-                buf = jnp.take(buf, idx, axis=ax + 2)
-            return jnp.moveaxis(buf, 1, -1)
+            starts = [a[0] // 2 - hm, a[1] // 2 - hm]
+            sizes = [td // 2 + 2 * hm, th // 2 + 2 * hm]
+            if cfg.packed:
+                starts.append((a[2] // 2 - hm) // 2)
+                sizes.append((tw // 2 + 2 * hm) // 2)
+            else:
+                starts.append(a[2] // 2 - hm)
+                sizes.append(tw // 2 + 2 * hm)
+            return self._wrap_slice_cfirst(buf, tuple(starts), tuple(sizes))
 
         if self.compute_vel:
             r1_tile = tuple(r_slice(r) for r in r1)
@@ -229,14 +296,23 @@ class HierarchicalProcessor:
     def _phase1_slab(self, params, slab):
         """slab: (1, C, S+8, H+8, W+8) scaled input (wrap halos included).
 
-        Returns the down_l0 output rows (1, S/2, H/2, W/2, mid) (+ tangent).
+        Returns the down_l0 output rows (1, S/2, H/2, W/2[, cells], mid)
+        (+ tangent).
         """
         p = params["params"]
+        packed = self.config.packed
         if self.compute_vel:
             h, dh = apply_resnet_block_vel(p["conv_l00"], slab, None, "CACA", in_fmt="NCDHW")
+            if packed:
+                h, dh = s2d.pack(h), s2d.pack(dh)
+                h, dh = apply_resnet_block_vel_packed(p["conv_l01"], h, dh, "CACA")
+                return apply_resample_block_vel_packed(p["down_l0"], h, dh, "DA")
             h, dh = apply_resnet_block_vel(p["conv_l01"], h, dh, "CACA")
             return apply_resample_block_vel(p["down_l0"], h, dh, "DA")
         h = apply_resnet_block(p["conv_l00"], slab, "CACA", in_fmt="NCDHW")
+        if packed:
+            h = apply_resnet_block_packed(p["conv_l01"], s2d.pack(h), "CACA")
+            return apply_resample_block_packed(p["down_l0"], h, "DA")
         h = apply_resnet_block(p["conv_l01"], h, "CACA")
         return apply_resample_block(p["down_l0"], h, "DA")
 
@@ -251,14 +327,18 @@ class HierarchicalProcessor:
     # The deep stack holds ~10% of the network FLOPs, so tiling it with this
     # margin costs little while bounding memory to one (M+44)^3 x 64ch set.
     PHASE2_MARGIN = 22
+    # Phase-3 level-1 halo: 3 voxels suffice (up_r0 + 2 convs); packed mode
+    # uses 4 so the gather start lands on a W cell boundary.
+    PHASE3_R1_MARGIN_PACKED = 4
 
     def _phase2_tile(self, params, t):
-        """t: (1, M+44, M+44, M+44, mid) level-1 slice (+tangent when vel).
+        """t: (1, M+44, M+44, M+44[/2], mid) level-1 slice (+tangent if vel).
 
-        Returns the conv_r1 output tile (1, M, M, M, mid) (+tangent).
+        Returns the conv_r1 output tile (1, M, M, M[/2], mid) (+tangent).
         """
         p = params["params"]
         vel = self.compute_vel
+        packed = self.config.packed
 
         def crop_like(y, h):
             target = h[0].shape[1:4] if vel else h.shape[1:4]
@@ -267,11 +347,19 @@ class HierarchicalProcessor:
             return _center_crop(y, target)
 
         def resnet(name, x):
+            if packed:
+                if vel:
+                    return apply_resnet_block_vel_packed(p[name], x[0], x[1], "CACA")
+                return apply_resnet_block_packed(p[name], x, "CACA")
             if vel:
                 return apply_resnet_block_vel(p[name], x[0], x[1], "CACA")
             return apply_resnet_block(p[name], x, "CACA")
 
         def resample(name, x, seq):
+            if packed:
+                if vel:
+                    return apply_resample_block_vel_packed(p[name], x[0], x[1], seq)
+                return apply_resample_block_packed(p[name], x, seq)
             if vel:
                 return apply_resample_block_vel(p[name], x[0], x[1], seq)
             return apply_resample_block(p[name], x, seq)
@@ -294,9 +382,13 @@ class HierarchicalProcessor:
         h = resample("up_r1", h, "UA")
         h = resnet("conv_r1", cat(crop_like(y1, h), h))
         # margin 22 leaves 2 extra voxels per side (M+4 -> M)
+        wslack = 1 if packed else 2
         if vel:
-            return h[0][:, 2:-2, 2:-2, 2:-2], h[1][:, 2:-2, 2:-2, 2:-2]
-        return h[:, 2:-2, 2:-2, 2:-2]
+            return (
+                h[0][:, 2:-2, 2:-2, wslack:-wslack],
+                h[1][:, 2:-2, 2:-2, wslack:-wslack],
+            )
+        return h[:, 2:-2, 2:-2, wslack:-wslack]
 
     # ------------------------------------------------------------------
     # Phase 3: final decode of one tile
@@ -307,24 +399,39 @@ class HierarchicalProcessor:
 
         Args:
             box_tile: (1, C, T+16, ., .) scaled input slice (halo 8/side).
-            r1_tile: level-1 slice (1, T/2+6, ..., mid) (+tangent) — halo 3.
+            r1_tile: level-1 slice (+tangent) — halo 4 packed / 3 unpacked.
         Returns NCDHW displacement tile (and velocity tile).
         """
         p = params["params"]
         vel = self.compute_vel
+        packed = self.config.packed
         m = 8  # margin consumed from box_tile: (T+16) -> T
         x0 = box_tile[:, :, m:-m, m:-m, m:-m]
+        # up_r0 slack crop per side: margin 4 -> 4 voxels (2 cells) packed,
+        # margin 3 -> 2 voxels unpacked.
+        uc, ucw = (4, 2) if packed else (2, 2)
 
-        # Recompute y0 over T+8 (4 conv halos from the T+16 input slice).
         if vel:
             y0, dy0 = apply_resnet_block_vel(p["conv_l00"], box_tile, None, "CACA", in_fmt="NCDHW")
-            y0, dy0 = apply_resnet_block_vel(p["conv_l01"], y0, dy0, "CACA")
             r1, dr1 = r1_tile
-            u, du = apply_resample_block_vel(p["up_r0"], r1, dr1, "UA")
-            u, du = u[:, 2:-2, 2:-2, 2:-2], du[:, 2:-2, 2:-2, 2:-2]  # T+8
-            h = jnp.concatenate([y0, u], -1)
-            dh = jnp.concatenate([dy0, du], -1)
-            h, dh = apply_resnet_block_vel(p["conv_r00"], h, dh, "CACA")
+            if packed:
+                y0, dy0 = s2d.pack(y0), s2d.pack(dy0)
+                y0, dy0 = apply_resnet_block_vel_packed(p["conv_l01"], y0, dy0, "CACA")
+                u, du = apply_resample_block_vel_packed(p["up_r0"], r1, dr1, "UA")
+                u = u[:, uc:-uc, uc:-uc, ucw:-ucw]
+                du = du[:, uc:-uc, uc:-uc, ucw:-ucw]
+                h = jnp.concatenate([y0, u], -1)
+                dh = jnp.concatenate([dy0, du], -1)
+                h, dh = apply_resnet_block_vel_packed(p["conv_r00"], h, dh, "CACA")
+                h, dh = s2d.unpack(h), s2d.unpack(dh)
+            else:
+                y0, dy0 = apply_resnet_block_vel(p["conv_l01"], y0, dy0, "CACA")
+                u, du = apply_resample_block_vel(p["up_r0"], r1, dr1, "UA")
+                u = u[:, uc:-uc, uc:-uc, ucw:-ucw]
+                du = du[:, uc:-uc, uc:-uc, ucw:-ucw]
+                h = jnp.concatenate([y0, u], -1)
+                dh = jnp.concatenate([dy0, du], -1)
+                h, dh = apply_resnet_block_vel(p["conv_r00"], h, dh, "CACA")
             h, dh = apply_resnet_block_vel(p["conv_r01"], h, dh, "CAC", out_fmt="NCDHW")
             disp = (h + x0) * jnp.asarray(6.0, h.dtype)
             vf = vel_fac.reshape((1,) * 5)
@@ -332,11 +439,19 @@ class HierarchicalProcessor:
             velocity = dh * (vf * 6.0).astype(h.dtype) + x0 * (vf * 6.0 / dz).astype(h.dtype)
             return disp, velocity
         y0 = apply_resnet_block(p["conv_l00"], box_tile, "CACA", in_fmt="NCDHW")
-        y0 = apply_resnet_block(p["conv_l01"], y0, "CACA")
-        u = apply_resample_block(p["up_r0"], r1_tile, "UA")
-        u = u[:, 2:-2, 2:-2, 2:-2]
-        h = jnp.concatenate([y0, u], -1)
-        h = apply_resnet_block(p["conv_r00"], h, "CACA")
+        if packed:
+            y0 = apply_resnet_block_packed(p["conv_l01"], s2d.pack(y0), "CACA")
+            u = apply_resample_block_packed(p["up_r0"], r1_tile, "UA")
+            u = u[:, uc:-uc, uc:-uc, ucw:-ucw]
+            h = jnp.concatenate([y0, u], -1)
+            h = apply_resnet_block_packed(p["conv_r00"], h, "CACA")
+            h = s2d.unpack(h)
+        else:
+            y0 = apply_resnet_block(p["conv_l01"], y0, "CACA")
+            u = apply_resample_block(p["up_r0"], r1_tile, "UA")
+            u = u[:, uc:-uc, uc:-uc, ucw:-ucw]
+            h = jnp.concatenate([y0, u], -1)
+            h = apply_resnet_block(p["conv_r00"], h, "CACA")
         h = apply_resnet_block(p["conv_r01"], h, "CAC", out_fmt="NCDHW")
         return (h + x0) * jnp.asarray(6.0, h.dtype)
 
@@ -348,7 +463,6 @@ class HierarchicalProcessor:
         cfg = self.config
         if tuple(input_box.shape) != (cfg.in_chan,) + cfg.size:
             raise ValueError(f"box shape {input_box.shape} != {(cfg.in_chan,) + cfg.size}")
-        nd, nh, nw = cfg.size
         Dz = jnp.atleast_1d(growth_factor(z, Om)).astype(jnp.float32)
         vel_fac = (
             jnp.atleast_1d(vel_norm(z, Om)).astype(jnp.float32)
@@ -373,26 +487,23 @@ class HierarchicalProcessor:
         boxp = scale(jnp.asarray(input_box, cfg.dtype), Dz)
 
         # ---- Phase 1: build the level-1 volume slab by slab --------------
-        mid = self.model.mid_chan
         nbuf = 2 if self.compute_vel else 1
-        h1 = tuple(
-            jnp.zeros((1, mid, nd // 2, nh // 2, nw // 2), cfg.dtype)
-            for _ in range(nbuf)
-        )
-        h1 = self._phase1(self.params, boxp, h1)
+        h1_shape = self._h1_shape()
+        h1 = tuple(jnp.zeros(h1_shape, cfg.dtype) for _ in range(nbuf))
+        h1 = self._phase1(self._exec_params, boxp, h1)
 
         # ---- Phase 2: deep network, tiled at level 1 ----------------------
         # Tiles slice h1 with periodic gathers (no padded copy of the whole
         # level-1 volume — its construction transient would OOM at 512^3-vel).
         r1 = tuple(jnp.zeros_like(h) for h in h1)
-        r1 = self._phase2(self.params, h1, r1)
+        r1 = self._phase2(self._exec_params, h1, r1)
         del h1
         # ---- Phase 3: final decode, tiled ---------------------------------
         out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
         outs = tuple(
             jnp.zeros((1, cfg.in_chan) + cfg.size, out_dtype) for _ in range(nbuf)
         )
-        outs = self._phase3(self.params, boxp, r1, outs, Dz, vel_fac)
+        outs = self._phase3(self._exec_params, boxp, r1, outs, Dz, vel_fac)
         del r1
 
         def fin(t):

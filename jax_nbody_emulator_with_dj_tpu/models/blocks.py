@@ -36,6 +36,7 @@ from ..ops.conv3d import (
     leaky_relu_with_tangent,
 )
 from ..ops.style import style_modulation
+from ..ops import s2d
 
 # ---------------------------------------------------------------------------
 # Layer kinds
@@ -299,3 +300,136 @@ def apply_resample_block_vel(p, x, dx, seq):
         else:
             raise ValueError(f"layer type {op!r} not supported")
     return x, dx
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth packed execution (premodulated models' 64-channel interior)
+#
+# Activations stay W-packed ((B, D, H, W/2, 2C), see ops/s2d.py) across whole
+# phases; weights are pre-packed ONCE per processor build via
+# ``pack_resnet_params`` / ``pack_resample_params`` so the hot loop contains
+# no packing work.  Exact same math as the unpacked blocks (bf16 summation
+# order differs).  W crops happen in packed cells: every supported crop is an
+# even number of voxels.
+# ---------------------------------------------------------------------------
+
+_PACKERS = {
+    "conv": s2d.pack_w3,
+    "skip": s2d.pack_w1,
+    "down": s2d.pack_w_down,
+    "up": s2d.pack_w_up,
+}
+
+_PACKED_OPS = {
+    "conv": s2d.conv3_packed,
+    "skip": s2d.conv1_packed,
+    "down": s2d.down_packed,
+    "up": s2d.up_packed,
+}
+
+
+def pack_conv_layer_params(p, kind, *, groups: int = 1, vel: bool = False):
+    """Pre-pack one premodulated conv layer's params for packed execution."""
+    packer = _PACKERS[kind]
+    out = {
+        "w": packer(p["weight"], groups),
+        "b": s2d.pack_bias(p["bias"].astype(jnp.float32)),
+    }
+    if vel:
+        # dy = op(concat([x, dx]), concat([dW, W])): the packed input is the
+        # channel-concat of two packed tensors, so the concat weight packs
+        # with twice the groups.
+        wcat = jnp.concatenate([p["dweight"], p["weight"]], axis=-2)
+        out["wcat"] = packer(wcat, 2 * groups)
+    return out
+
+
+def pack_resnet_params(p, seq, *, groups: int = 1, vel: bool = False):
+    main_seq, num_conv, _ = _resnet_channel_plan(seq, 0, 0)
+    out = {"skip": pack_conv_layer_params(p["skip"], "skip", groups=groups, vel=vel)}
+    for i in range(num_conv):
+        g = groups if i == 0 else 1
+        out[f"conv_{i}"] = pack_conv_layer_params(p[f"conv_{i}"], "conv", groups=g, vel=vel)
+    return out
+
+
+def pack_resample_params(p, seq, *, groups: int = 1, vel: bool = False):
+    kind = "down" if "D" in seq else "up"
+    return {"conv_0": pack_conv_layer_params(p["conv_0"], kind, groups=groups, vel=vel)}
+
+
+def _apply_packed(pp, xp, kind):
+    op = _PACKED_OPS[kind]
+    out_dtype = xp.dtype
+    z = op(xp, pp["w"]) + pp["b"].astype(xp.dtype)
+    return z.astype(out_dtype)
+
+
+def _apply_packed_vel(pp, xp, dxp, kind):
+    op = _PACKED_OPS[kind]
+    out_dtype = xp.dtype
+    y = op(xp, pp["w"]) + pp["b"].astype(xp.dtype)
+    dy = op(jnp.concatenate([xp, dxp], axis=-1), pp["wcat"])
+    return y.astype(out_dtype), dy.astype(out_dtype)
+
+
+def _crop_packed(t, dhw_crop: int):
+    """Center crop by ``dhw_crop`` voxels/side in D, H and W (W in cells)."""
+    if dhw_crop == 0:
+        return t
+    c = dhw_crop
+    assert c % 2 == 0, "packed crops must be even in W"
+    return t[:, c:-c, c:-c, c // 2 : -(c // 2), :]
+
+
+def apply_resnet_block_packed(pp, xp, seq):
+    """Packed premodulated ResNet block ('CACA'/'CAC')."""
+    main_seq, num_conv, _ = _resnet_channel_plan(seq, 0, 0)
+    last_act = seq.endswith("A") and main_seq != seq
+    y = _apply_packed(pp["skip"], xp, "skip")
+    y = _crop_packed(y, num_conv)
+    conv_idx = 0
+    for op in main_seq:
+        if op == "C":
+            xp = _apply_packed(pp[f"conv_{conv_idx}"], xp, "conv")
+            conv_idx += 1
+        else:  # 'A'
+            xp = leaky_relu(xp)
+    xp = xp + y
+    if last_act:
+        xp = leaky_relu(xp)
+    return xp
+
+
+def apply_resnet_block_vel_packed(pp, xp, dxp, seq):
+    main_seq, num_conv, _ = _resnet_channel_plan(seq, 0, 0)
+    last_act = seq.endswith("A") and main_seq != seq
+    y, dy = _apply_packed_vel(pp["skip"], xp, dxp, "skip")
+    y = _crop_packed(y, num_conv)
+    dy = _crop_packed(dy, num_conv)
+    conv_idx = 0
+    for op in main_seq:
+        if op == "C":
+            xp, dxp = _apply_packed_vel(pp[f"conv_{conv_idx}"], xp, dxp, "conv")
+            conv_idx += 1
+        else:
+            xp, dxp = leaky_relu_with_tangent(xp, dxp)
+    xp = xp + y
+    dxp = dxp + dy
+    if last_act:
+        xp, dxp = leaky_relu_with_tangent(xp, dxp)
+    return xp, dxp
+
+
+def apply_resample_block_packed(pp, xp, seq):
+    xp = _apply_packed(pp["conv_0"], xp, "down" if "D" in seq else "up")
+    if seq.endswith("A"):
+        xp = leaky_relu(xp)
+    return xp
+
+
+def apply_resample_block_vel_packed(pp, xp, dxp, seq):
+    xp, dxp = _apply_packed_vel(pp["conv_0"], xp, dxp, "down" if "D" in seq else "up")
+    if seq.endswith("A"):
+        xp, dxp = leaky_relu_with_tangent(xp, dxp)
+    return xp, dxp

@@ -1,0 +1,167 @@
+"""Space-to-depth (W-parity) packed execution for the 64-channel interior.
+
+The U-Net's interior convs are 64-channel bf16; both MXU operands then sit at
+half the 128-lane width and XLA's conv emitter measures ~55 TF/s on a v5e.
+Packing the minor spatial axis W pairwise into channels:
+
+    x(B, D, H, W, C)  ->  x'(B, D, H, W/2, 2C)        [pure reshape]
+
+makes every conv operand 128 channels wide; a 3x3x3 conv becomes an exact
+3x3x2 conv on packed tensors (the parity decomposition of the sliding
+window), measured at ~80 TF/s — a 1.45x end-to-end conv speedup.  The
+pack/unpack reshapes are relayouts (~the cost of one elementwise op), so
+activations must STAY packed across the network; this module provides the
+packed forms of every interior op:
+
+  * ``conv3_packed``  — 3x3x3 conv == (3,3,2) conv on packed tensors with
+    ``pack_w3`` weights: W'[a, qCi+ci, pCo+co] = W[2a+q-p] for 0<=2a+q-p<=2.
+  * ``conv1_packed``  — 1x1x1 conv == parity-block-diagonal channel matmul.
+  * ``down_packed``   — k2s2 conv: output cell u parity p consumes input
+    cell 2u+p (both parities), i.e. space-to-depth + matmul with
+    W2[(r,s,a,qCi+ci),(pCo+co)] = delta_ap * W[r,s,q,ci,co].
+  * ``up_packed``     — lhs-dilated k2 upsample: y[2i+r,2j+s,2k+t] =
+    W[1-r,1-s,1-t] . x[i,j,k]; output cell 2v+a parity p comes from input
+    cell v parity a: one matmul to (r,s,a,p,Co) then depth-to-space.
+
+All packed weights support ``groups``: when the packed input is a channel
+concatenation of g packed tensors, the input-channel rows are laid out as
+``[t0q0, t0q1, t1q0, t1q1, ...]`` and the weight packers place each group's
+rows accordingly (the unpacked weight's Ci axis is split into g equal
+groups).
+
+Everything here is linear and exact (identical math, different operand
+shapes); only bf16 summation order differs from the unpacked path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CONV_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def pack(x):
+    """(B, D, H, W, C) -> (B, D, H, W/2, 2C); W must be even."""
+    b, d, h, w, c = x.shape
+    return x.reshape(b, d, h, w // 2, 2 * c)
+
+
+def unpack(xp):
+    """(B, D, H, WP, 2C) -> (B, D, H, 2*WP, C)."""
+    b, d, h, wp, c2 = xp.shape
+    return xp.reshape(b, d, h, 2 * wp, c2 // 2)
+
+
+def _group_rows(ci: int, groups: int):
+    """Packed input-channel row index for (group, parity, ci_in_group)."""
+    g = ci // groups
+    rows = np.zeros((2, ci), np.int64)  # [parity, unpacked ci] -> packed row
+    for grp in range(groups):
+        for q in range(2):
+            rows[q, grp * g:(grp + 1) * g] = np.arange(g) + grp * 2 * g + q * g
+    return rows
+
+
+def pack_w3(w, groups: int = 1):
+    """(3,3,3,Ci,Co) -> (3,3,2,2Ci,2Co) parity-decomposed kernel."""
+    k1, k2, k3, ci, co = w.shape
+    assert (k1, k2, k3) == (3, 3, 3)
+    rows = _group_rows(ci, groups)
+    wp = jnp.zeros((3, 3, 2, 2 * ci, 2 * co), w.dtype)
+    for a in range(2):
+        for q in range(2):
+            for p in range(2):
+                kw = 2 * a + q - p
+                if 0 <= kw <= 2:
+                    wp = wp.at[:, :, a, rows[q], p * co:(p + 1) * co].set(w[:, :, kw])
+    return wp
+
+
+def pack_w1(w, groups: int = 1):
+    """(1,1,1,Ci,Co) (or (Ci,Co)) -> (2Ci, 2Co) parity-block-diagonal matmul."""
+    w = w.reshape(w.shape[-2], w.shape[-1])
+    ci, co = w.shape
+    rows = _group_rows(ci, groups)
+    wp = jnp.zeros((2 * ci, 2 * co), w.dtype)
+    for p in range(2):
+        wp = wp.at[rows[p], p * co:(p + 1) * co].set(w)
+    return wp
+
+
+def pack_w_down(w, groups: int = 1):
+    """(2,2,2,Ci,Co) k2s2 kernel -> (8*2Ci, 2Co) space-to-depth matmul.
+
+    Row layout matches ``down_packed``'s reshape: (r, s, a, packed-channel).
+    """
+    ci, co = w.shape[-2], w.shape[-1]
+    rows = _group_rows(ci, groups)
+    wp = jnp.zeros((2, 2, 2, 2 * ci, 2 * co), w.dtype)
+    for p in range(2):  # output parity == which input cell (a) it consumes
+        for q in range(2):  # input parity == kernel W tap
+            wp = wp.at[:, :, p, rows[q], p * co:(p + 1) * co].set(w[:, :, q])
+    return wp.reshape(8 * 2 * ci, 2 * co)
+
+
+def pack_w_up(w, groups: int = 1):
+    """(2,2,2,Ci,Co) upsample kernel -> (2Ci, 16*Co) matmul.
+
+    Column layout matches ``up_packed``'s reshuffle: (r, s, a, p, Co); the
+    value at (a*Ci+ci, (r,s,a,p,co)) is w[1-r, 1-s, 1-p, ci, co].
+    """
+    ci, co = w.shape[-2], w.shape[-1]
+    rows = _group_rows(ci, groups)
+    wp = jnp.zeros((2 * ci, 2, 2, 2, 2, co), w.dtype)
+    for r in range(2):
+        for s in range(2):
+            for a in range(2):
+                for p in range(2):
+                    wp = wp.at[rows[a], r, s, a, p].set(w[1 - r, 1 - s, 1 - p])
+    return wp.reshape(2 * ci, 16 * co)
+
+
+def pack_bias(b):
+    """(Co,) -> (2Co,) parity-duplicated bias."""
+    return jnp.tile(b, 2)
+
+
+def _dot(x, w2, out_dtype):
+    return jax.lax.dot_general(
+        x, w2.astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=out_dtype,
+    )
+
+
+def conv3_packed(xp, wp, *, accum_dtype=None):
+    """VALID 3x3x3 conv on packed tensors (wp from ``pack_w3``)."""
+    out = accum_dtype or xp.dtype
+    return jax.lax.conv_general_dilated(
+        xp, wp.astype(xp.dtype), (1, 1, 1), "VALID",
+        dimension_numbers=CONV_DN, preferred_element_type=out,
+    )
+
+
+def conv1_packed(xp, w1p, *, accum_dtype=None):
+    """1x1x1 conv on packed tensors (w1p from ``pack_w1``)."""
+    return _dot(xp, w1p, accum_dtype or xp.dtype)
+
+
+def down_packed(xp, wdp, *, accum_dtype=None):
+    """Stride-2 kernel-2 conv on packed tensors (wdp from ``pack_w_down``)."""
+    b, d, h, wp_, c2 = xp.shape
+    xr = xp.reshape(b, d // 2, 2, h // 2, 2, wp_ // 2, 2, c2)
+    xr = xr.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        b, d // 2, h // 2, wp_ // 2, 8 * c2
+    )
+    return _dot(xr, wdp, accum_dtype or xp.dtype)
+
+
+def up_packed(xp, wup, *, accum_dtype=None):
+    """2x lhs-dilated kernel-2 upsample on packed tensors (``pack_w_up``)."""
+    b, d, h, wp_, c2 = xp.shape
+    co = wup.shape[1] // 16
+    y = _dot(xp, wup, accum_dtype or xp.dtype)  # (B,D,H,WP, r,s,a,p,Co)
+    y = y.reshape(b, d, h, wp_, 2, 2, 2, 2 * co)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # (B, D,r, H,s, WP,a, 2Co)
+    return y.reshape(b, 2 * d, 2 * h, 2 * wp_, 2 * co)

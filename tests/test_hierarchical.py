@@ -89,6 +89,48 @@ class TestHierarchicalVel:
         np.testing.assert_allclose(v / scale, v_ref / scale, rtol=2e-4, atol=2e-4)
 
 
+class TestPackedMode:
+    """Space-to-depth packed interior must match the unpacked path exactly
+    (same math, different operand shapes — bf16/f32 reorder tolerance)."""
+
+    @pytest.mark.slow
+    def test_packed_matches_unpacked_disp(self, style_params, box):
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=MID)
+        outs = []
+        for packed in (False, True):
+            cfg = HierarchicalConfig(
+                size=(N,) * 3, slab=8, tile=(8, 8, 8),
+                dtype=jnp.float32, output_dtype=np.float32, packed=packed,
+            )
+            outs.append(
+                HierarchicalProcessor(model, params, cfg).process_box(box, 0.5, 0.3175)
+            )
+        np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-5)
+
+    @pytest.mark.slow
+    def test_packed_matches_unpacked_vel(self, style_params, box):
+        params = modulate_emulator_parameters_vel(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorVelCore(mid_chan=MID)
+        outs = []
+        for packed in (False, True):
+            cfg = HierarchicalConfig(
+                size=(N,) * 3, slab=8, tile=(8, 8, 8),
+                dtype=jnp.float32, output_dtype=np.float32, packed=packed,
+            )
+            outs.append(
+                HierarchicalProcessor(model, params, cfg).process_box(box, 0.5, 0.3175)
+            )
+        (d0, v0), (d1, v1) = outs
+        np.testing.assert_allclose(d0, d1, rtol=2e-4, atol=2e-5)
+        scale = np.abs(v0).max()
+        np.testing.assert_allclose(v0 / scale, v1 / scale, rtol=2e-4, atol=2e-4)
+
+    def test_packed_geometry_validation(self):
+        with pytest.raises(ValueError):
+            HierarchicalConfig(size=(24, 24, 24), slab=4, tile=(8, 8, 6), packed=True)
+
+
 class TestValidation:
     def test_requires_premodulated(self, style_params):
         cfg = HierarchicalConfig(size=(N,) * 3, slab=8, tile=(8, 8, 8))
