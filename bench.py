@@ -39,6 +39,12 @@ def main():
                    help="hierarchical = overlap-minimal phase runtime (premodulated "
                         "models); subbox = classic halo-recompute tiles")
     p.add_argument("--mid-chan", type=int, default=64)
+    p.add_argument("--tile1", type=int, default=None,
+                   help="hierarchical phase-2 level-1 tile (default: 128 disp / 64 vel)")
+    p.add_argument("--tile", type=int, nargs=3, default=None,
+                   help="hierarchical phase-3 output tile")
+    p.add_argument("--slab", type=int, default=None,
+                   help="hierarchical phase-1 D-slab thickness")
     args = p.parse_args()
 
     import jax
@@ -80,10 +86,15 @@ def main():
         # The velocity path threads (x, dx) pairs -> ~2x working sets; use
         # the measured-fitting geometry on 16 GB chips.
         t = min(128, args.size)
+        tile = tuple(args.tile) if args.tile else (
+            (t, t, t) if compute_vel else (t, min(2 * t, args.size), min(2 * t, args.size))
+        )
+        tile1 = args.tile1 if args.tile1 else min(64 if compute_vel else 128, args.size // 2)
         hcfg = HierarchicalConfig(
             size=size,
-            slab=min(16 if compute_vel else 32, args.size),
-            tile=(t, t, max(t // 2, 8)) if compute_vel else (t, t, t),
+            slab=args.slab or min(16 if compute_vel else 32, args.size),
+            tile=tile,
+            tile1=tile1,
             dtype=jnp.dtype(args.dtype),
             output_dtype=np.float16,
         )
@@ -114,6 +125,8 @@ def main():
 
     times = []
     for _ in range(args.runs):
+        out = None  # free the previous outputs — two full 512^3 output
+        # sets alive at once would crowd the 16 GB chip in vel mode
         t0 = time.perf_counter()
         out = proc.process_box(box, z=0.0, Om=0.3175, as_numpy=False)
         force_sync(out)

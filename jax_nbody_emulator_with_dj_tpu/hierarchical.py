@@ -26,10 +26,18 @@ with donated output buffers; inputs are expected device-resident.
 packed (``ops/s2d.py``): activations keep shape (B, D, H, W/2, 2C) so every
 MXU operand is 128 lanes wide — measured 1.45x over the unpacked convs on a
 v5e.  Weights are pre-packed once at processor build.  The level-1 buffers
-store the packed channels first, (1, 2C, D/2, H/2, W/4), which both avoids
-the channels-last 128-lane padding and keeps the minor dim a multiple of
-128.  ``HierarchicalConfig(packed=False)`` falls back to the unpacked path
-(equivalence asserted in tests).
+store the packed layout channels-last, (1, D/2, H/2, W/4, 2C): 2C = 128 is
+exactly the TPU lane width, so the layout pays no padding and tile slices
+need no transposes.  ``HierarchicalConfig(packed=False)`` falls back to the
+unpacked path (equivalence asserted in tests; its C=64 channels-last
+buffers pad to 128 lanes — the fallback trades HBM for simplicity).
+
+**Periodic access = padded buffers + ghost fill.**  The level-1 buffers are
+allocated with their consumer's halo margin baked in: each phase's loop
+writes the interior, then six in-place strip copies replicate the periodic
+ghosts (axis by axis, so edges/corners compose).  Tile reads in the next
+phase are then pure ``dynamic_slice`` calls — the mod-index ``take``
+gathers this replaces were the dominant non-conv cost of early versions.
 
 Supports the premodulated displacement and displacement+velocity models
 (the production configurations).  512^3 disp+vel fits a 16 GB chip.
@@ -156,14 +164,63 @@ class HierarchicalProcessor:
             pp[name] = pack_resample_params(p[name], "UA", vel=vel)
         return pp
 
-    # Level-1 buffer channel count (packed buffers carry 2C) and W extent.
-    def _h1_shape(self):
+    # Level-1 buffer margins: each buffer is padded by its consumer's halo
+    # so tile reads are pure dynamic_slices (ghosts filled in-place after
+    # the producing phase).  Margins are (D, H, W) in the buffer's own W
+    # units (cells when packed).
+    def _h1_margin(self):
+        m = self.PHASE2_MARGIN
+        return (m, m, m // 2) if self.config.packed else (m, m, m)
+
+    def _r1_margin(self):
+        if self.config.packed:
+            m = self.PHASE3_R1_MARGIN_PACKED
+            return (m, m, m // 2)
+        m = self.PHASE3_R1_MARGIN
+        return (m, m, m)
+
+    def _buf_shape(self, margin):
+        """Padded level-1 buffer shape (channels-last; packed carries 2C)."""
         cfg = self.config
         mid = self.model.mid_chan
         nd, nh, nw = cfg.size
-        if cfg.packed:
-            return (1, 2 * mid, nd // 2, nh // 2, nw // 4)
-        return (1, mid, nd // 2, nh // 2, nw // 2)
+        wdim = nw // 4 if cfg.packed else nw // 2
+        chan = 2 * mid if cfg.packed else mid
+        return (
+            1,
+            nd // 2 + 2 * margin[0],
+            nh // 2 + 2 * margin[1],
+            wdim + 2 * margin[2],
+            chan,
+        )
+
+    @staticmethod
+    def _ghost_fill(buf, margins):
+        """Fill periodic ghost strips of a (1, D, H, W, C) padded buffer.
+
+        Sequential per-axis copies: once axis d's ghosts are filled, axis
+        h's strip copies span the full (already-ghosted) d extent, so
+        edges/corners come out right.  Each ghost side grows outward in
+        period-sized chunks so margins wider than the interior (tiny test
+        boxes) wrap correctly; production margins need one chunk per side.
+        """
+        for ax, m in zip((1, 2, 3), margins):
+            if m == 0:
+                continue
+            n = buf.shape[ax] - 2 * m
+            lo = m  # lowest filled index
+            while lo > 0:
+                w = min(n, lo)
+                src = jax.lax.slice_in_dim(buf, lo + n - w, lo + n, axis=ax)
+                buf = jax.lax.dynamic_update_slice_in_dim(buf, src, lo - w, axis=ax)
+                lo -= w
+            hi = m + n  # first unfilled index on the high side
+            while hi < n + 2 * m:
+                w = min(n, n + 2 * m - hi)
+                src = jax.lax.slice_in_dim(buf, hi - n, hi - n + w, axis=ax)
+                buf = jax.lax.dynamic_update_slice_in_dim(buf, src, hi, axis=ax)
+                hi += w
+        return buf
 
     def _tile_anchors(self, steps3):
         import itertools
@@ -178,7 +235,9 @@ class HierarchicalProcessor:
         def body(i, h1):
             return self._phase1_step(params, boxp, i * cfg.slab, h1)
 
-        return jax.lax.fori_loop(0, n_slabs, body, h1_out)
+        h1 = jax.lax.fori_loop(0, n_slabs, body, h1_out)
+        m = self._h1_margin()
+        return tuple(self._ghost_fill(h, m) for h in h1)
 
     def _phase2_all(self, params, h1, r1_out):
         cfg = self.config
@@ -187,7 +246,9 @@ class HierarchicalProcessor:
         def body(i, r1):
             return self._phase2_step(params, h1, anchors[i], r1)
 
-        return jax.lax.fori_loop(0, anchors.shape[0], body, r1_out)
+        r1 = jax.lax.fori_loop(0, anchors.shape[0], body, r1_out)
+        m = self._r1_margin()
+        return tuple(self._ghost_fill(r, m) for r in r1)
 
     def _phase3_all(self, params, boxp, r1, outs, Dz, vel_fac):
         cfg = self.config
@@ -206,51 +267,42 @@ class HierarchicalProcessor:
         )
         out = self._phase1_slab(params, slab)
         outs = out if self.compute_vel else (out,)
-        # level-1 buffers live channels-first (see _wrap_slice_cfirst)
+        m = self._h1_margin()
         return tuple(
             jax.lax.dynamic_update_slice(
-                buf, jnp.moveaxis(o, -1, 1), (0, 0, d0 // 2, 0, 0)
+                buf, o, (0, m[0] + d0 // 2, m[1], m[2], 0)
             )
             for buf, o in zip(h1_out, outs)
         )
-
-    @staticmethod
-    def _wrap_slice_cfirst(buf, starts, sizes):
-        """Periodic tile slice of a channels-first buffer, channels-last out.
-
-        The persistent level-1 buffers are stored channels-first:
-        channels-last bf16 C=64 arrays pad their minor dim to 128 lanes
-        (2x HBM), which at 512^3-vel pushes the buffer set past a 16 GB
-        chip.  (Packed buffers carry 2C=128 channels and a W/4-cell minor
-        dim.)  Gathering with mod indices also avoids materializing padded
-        copies.
-        """
-        for ax, (st, size) in enumerate(zip(starts, sizes)):
-            n = buf.shape[ax + 2]
-            idx = jnp.mod(jnp.arange(size) + st, n)
-            buf = jnp.take(buf, idx, axis=ax + 2)
-        return jnp.moveaxis(buf, 1, -1)
 
     def _phase2_step(self, params, h1, start, r1_out):
         cfg = self.config
         m1 = cfg.tile1
         hm = self.PHASE2_MARGIN
+        mr = self._r1_margin()
+        # h1 is padded by the phase-2 margin, so the (start - margin) tile
+        # window begins at plain `start` in buffer coordinates.
         if cfg.packed:
-            starts = (start[0] - hm, start[1] - hm, (start[2] - hm) // 2)
+            starts = (0, start[0], start[1], start[2] // 2, 0)
             sizes = (m1 + 2 * hm, m1 + 2 * hm, (m1 + 2 * hm) // 2)
-            s5 = (0, 0, start[0], start[1], start[2] // 2)
+            s5 = (0, mr[0] + start[0], mr[1] + start[1], mr[2] + start[2] // 2, 0)
         else:
-            starts = tuple(start[d] - hm for d in range(3))
+            starts = (0, start[0], start[1], start[2], 0)
             sizes = (m1 + 2 * hm,) * 3
-            s5 = (0, 0, start[0], start[1], start[2])
+            s5 = (0, mr[0] + start[0], mr[1] + start[1], mr[2] + start[2], 0)
+        chan = h1[0].shape[-1]
+
+        def tslice(h):
+            return jax.lax.dynamic_slice(h, starts, (1,) + sizes + (chan,))
+
         if self.compute_vel:
-            t = tuple(self._wrap_slice_cfirst(h, starts, sizes) for h in h1)
+            t = tuple(tslice(h) for h in h1)
         else:
-            t = self._wrap_slice_cfirst(h1[0], starts, sizes)
+            t = tslice(h1[0])
         out = self._phase2_tile(params, t)
         outs = out if self.compute_vel else (out,)
         return tuple(
-            jax.lax.dynamic_update_slice(buf, jnp.moveaxis(o, -1, 1), s5)
+            jax.lax.dynamic_update_slice(buf, o, s5)
             for buf, o in zip(r1_out, outs)
         )
 
@@ -262,20 +314,22 @@ class HierarchicalProcessor:
             boxp, (0, 0, a[0], a[1], a[2]),
             (1, cfg.in_chan, td + 16, th + 16, tw + 16),
         )
-        # Level-1 slices (halo 4 packed / 3 unpacked) with periodic wrap
-        # gathers from the channels-first buffers.
-        hm = self.PHASE3_R1_MARGIN_PACKED if cfg.packed else 3
+        # Level-1 slices (halo 4 packed / 3 unpacked): r1 is padded by that
+        # margin, so the slice starts at the plain level-1 anchor.
+        hm = self.PHASE3_R1_MARGIN_PACKED if cfg.packed else self.PHASE3_R1_MARGIN
 
         def r_slice(buf):
-            starts = [a[0] // 2 - hm, a[1] // 2 - hm]
+            starts = [a[0] // 2, a[1] // 2]
             sizes = [td // 2 + 2 * hm, th // 2 + 2 * hm]
             if cfg.packed:
-                starts.append((a[2] // 2 - hm) // 2)
+                starts.append(a[2] // 4)
                 sizes.append((tw // 2 + 2 * hm) // 2)
             else:
-                starts.append(a[2] // 2 - hm)
+                starts.append(a[2] // 2)
                 sizes.append(tw // 2 + 2 * hm)
-            return self._wrap_slice_cfirst(buf, tuple(starts), tuple(sizes))
+            return jax.lax.dynamic_slice(
+                buf, (0, *starts, 0), (1, *sizes, buf.shape[-1])
+            )
 
         if self.compute_vel:
             r1_tile = tuple(r_slice(r) for r in r1)
@@ -328,7 +382,8 @@ class HierarchicalProcessor:
     # margin costs little while bounding memory to one (M+44)^3 x 64ch set.
     PHASE2_MARGIN = 22
     # Phase-3 level-1 halo: 3 voxels suffice (up_r0 + 2 convs); packed mode
-    # uses 4 so the gather start lands on a W cell boundary.
+    # uses 4 so the slice start lands on a W cell boundary.
+    PHASE3_R1_MARGIN = 3
     PHASE3_R1_MARGIN_PACKED = 4
 
     def _phase2_tile(self, params, t):
@@ -486,16 +541,15 @@ class HierarchicalProcessor:
         )
         boxp = scale(jnp.asarray(input_box, cfg.dtype), Dz)
 
-        # ---- Phase 1: build the level-1 volume slab by slab --------------
+        # ---- Phase 1: build the (phase-2-padded) level-1 volume -----------
         nbuf = 2 if self.compute_vel else 1
-        h1_shape = self._h1_shape()
+        h1_shape = self._buf_shape(self._h1_margin())
         h1 = tuple(jnp.zeros(h1_shape, cfg.dtype) for _ in range(nbuf))
         h1 = self._phase1(self._exec_params, boxp, h1)
 
         # ---- Phase 2: deep network, tiled at level 1 ----------------------
-        # Tiles slice h1 with periodic gathers (no padded copy of the whole
-        # level-1 volume — its construction transient would OOM at 512^3-vel).
-        r1 = tuple(jnp.zeros_like(h) for h in h1)
+        r1_shape = self._buf_shape(self._r1_margin())
+        r1 = tuple(jnp.zeros(r1_shape, cfg.dtype) for _ in range(nbuf))
         r1 = self._phase2(self._exec_params, h1, r1)
         del h1
         # ---- Phase 3: final decode, tiled ---------------------------------
