@@ -194,6 +194,16 @@ class HierarchicalProcessor:
             chan,
         )
 
+    def _fill_margins(self, buf, margins):
+        """Fill a padded buffer's halo margins.
+
+        Single-device: periodic self-wrap (ghost fill).  The sharded
+        composition (``parallel/sharded_hierarchical.py``) overrides this
+        with a ``ppermute`` exchange that pulls the margins from mesh
+        neighbors instead — everything else about the phases is shared.
+        """
+        return self._ghost_fill(buf, margins)
+
     @staticmethod
     def _ghost_fill(buf, margins):
         """Fill periodic ghost strips of a (1, D, H, W, C) padded buffer.
@@ -237,7 +247,7 @@ class HierarchicalProcessor:
 
         h1 = jax.lax.fori_loop(0, n_slabs, body, h1_out)
         m = self._h1_margin()
-        return tuple(self._ghost_fill(h, m) for h in h1)
+        return tuple(self._fill_margins(h, m) for h in h1)
 
     def _phase2_all(self, params, h1, r1_out):
         cfg = self.config
@@ -248,7 +258,7 @@ class HierarchicalProcessor:
 
         r1 = jax.lax.fori_loop(0, anchors.shape[0], body, r1_out)
         m = self._r1_margin()
-        return tuple(self._ghost_fill(r, m) for r in r1)
+        return tuple(self._fill_margins(r, m) for r in r1)
 
     def _phase3_all(self, params, boxp, r1, outs, Dz, vel_fac):
         cfg = self.config

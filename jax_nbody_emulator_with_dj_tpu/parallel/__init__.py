@@ -1,6 +1,7 @@
 from .mesh import make_mesh, mesh_for_devices
 from .halo import halo_exchange
 from .sharded_box import ShardedBoxConfig, ShardedBoxProcessor
+from .sharded_hierarchical import ShardedHierarchicalProcessor
 from .distributed import initialize, make_sharded_box, box_spec
 
 __all__ = [
@@ -9,6 +10,7 @@ __all__ = [
     "halo_exchange",
     "ShardedBoxConfig",
     "ShardedBoxProcessor",
+    "ShardedHierarchicalProcessor",
     "initialize",
     "make_sharded_box",
     "box_spec",

@@ -251,3 +251,110 @@ class TestShardedProcessor:
                 model, style_params, mesh,
                 ShardedBoxConfig(size=(8, 8, 8), halo=HALO),
             )
+
+
+class TestShardedHierarchical:
+    """Sharded hierarchical (per-phase neighbor exchange) == single-device
+    hierarchical (itself pinned to the subbox decomposition) at the
+    production levels=3 topology."""
+
+    @pytest.fixture(scope="class")
+    def params3(self):
+        return StyleNBodyEmulatorVelCore(mid_chan=4).init(KEY)
+
+    @pytest.fixture(scope="class")
+    def box64(self):
+        rng = np.random.default_rng(11)
+        return rng.normal(size=(3, 64, 64, 64)).astype(np.float32)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("packed", [True, False])
+    def test_matches_single_device(self, params3, box64, packed):
+        from jax_nbody_emulator_with_dj_tpu.emulator import (
+            modulate_emulator_parameters,
+        )
+        from jax_nbody_emulator_with_dj_tpu.hierarchical import (
+            HierarchicalConfig,
+            HierarchicalProcessor,
+        )
+        from jax_nbody_emulator_with_dj_tpu.models import NBodyEmulatorCore
+        from jax_nbody_emulator_with_dj_tpu.parallel import (
+            ShardedHierarchicalProcessor,
+        )
+
+        params = modulate_emulator_parameters(params3, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=4)
+        cfg = HierarchicalConfig(
+            size=(64, 64, 64), slab=16, tile=(32, 32, 32),
+            dtype=jnp.float32, output_dtype=np.float32, packed=packed,
+        )
+        ref = HierarchicalProcessor(model, params, cfg).process_box(
+            box64, 0.5, 0.3175
+        )
+        # local shards 32^3 -> level-1 extent 16 < margin 22: multi-hop
+        mesh = make_mesh((2, 2, 2))
+        proc = ShardedHierarchicalProcessor(model, params, mesh, cfg)
+        out = proc.process_box(box64, 0.5, 0.3175, as_numpy=True)
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+    @pytest.mark.slow
+    def test_velocity_matches_single_device(self, params3, box64):
+        from jax_nbody_emulator_with_dj_tpu.emulator import (
+            modulate_emulator_parameters_vel,
+        )
+        from jax_nbody_emulator_with_dj_tpu.hierarchical import (
+            HierarchicalConfig,
+            HierarchicalProcessor,
+        )
+        from jax_nbody_emulator_with_dj_tpu.models import NBodyEmulatorVelCore
+        from jax_nbody_emulator_with_dj_tpu.parallel import (
+            ShardedHierarchicalProcessor,
+        )
+
+        params = modulate_emulator_parameters_vel(params3, 0.5, 0.3175)
+        model = NBodyEmulatorVelCore(mid_chan=4)
+        cfg = HierarchicalConfig(
+            size=(64, 64, 64), slab=16, tile=(32, 32, 32),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        d_ref, v_ref = HierarchicalProcessor(model, params, cfg).process_box(
+            box64, 0.5, 0.3175
+        )
+        mesh = make_mesh((2, 4, 1))  # anisotropic: level-1 extents 16 and 8
+        proc = ShardedHierarchicalProcessor(model, params, mesh, cfg)
+        d, v = proc.process_box(box64, 0.5, 0.3175, as_numpy=True)
+        np.testing.assert_allclose(d, d_ref, rtol=2e-4, atol=2e-5)
+        scale = np.abs(v_ref).max()
+        np.testing.assert_allclose(v / scale, v_ref / scale, rtol=2e-4, atol=2e-4)
+
+    def test_output_stays_sharded(self, params3):
+        from jax_nbody_emulator_with_dj_tpu.emulator import (
+            modulate_emulator_parameters,
+        )
+        from jax_nbody_emulator_with_dj_tpu.hierarchical import HierarchicalConfig
+        from jax_nbody_emulator_with_dj_tpu.models import NBodyEmulatorCore
+        from jax_nbody_emulator_with_dj_tpu.parallel import (
+            ShardedHierarchicalProcessor,
+        )
+
+        params = modulate_emulator_parameters(params3, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=4)
+        cfg = HierarchicalConfig(
+            size=(32, 32, 32), slab=8, tile=(16, 16, 16),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        mesh = make_mesh((2, 1, 1))
+        proc = ShardedHierarchicalProcessor(model, params, mesh, cfg)
+        box = np.random.default_rng(0).normal(size=(3, 32, 32, 32)).astype(np.float32)
+        out = proc.process_box(box, 0.0, 0.3175)
+        assert isinstance(out, jax.Array)
+        assert len(out.sharding.device_set) == 2
+        # Multi-wrap regime: local level-1 extent 8, global 16 < margin 22 —
+        # the exchanged ghosts must tile the torus periodically.
+        from jax_nbody_emulator_with_dj_tpu.hierarchical import (
+            HierarchicalProcessor,
+        )
+        ref = HierarchicalProcessor(model, params, cfg).process_box(
+            box, 0.0, 0.3175
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
