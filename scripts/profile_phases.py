@@ -29,6 +29,9 @@ def main():
     p.add_argument("--vel", action="store_true")
     p.add_argument("--packed", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--micro", action="store_true", help="run micro-benchmarks too")
+    p.add_argument("--tile1", type=int, default=None)
+    p.add_argument("--tile", type=int, nargs=3, default=None)
+    p.add_argument("--slab", type=int, default=None)
     args = p.parse_args()
 
     import jax
@@ -58,14 +61,19 @@ def main():
 
     size = (args.size,) * 3
     t = min(128, args.size)
+    tile = tuple(args.tile) if args.tile else (
+        (t, t, t) if args.vel else (t, min(2 * t, args.size), min(2 * t, args.size))
+    )
     cfg = HierarchicalConfig(
         size=size,
-        slab=min(16 if args.vel else 32, args.size),
-        tile=(t, t, max(t // 2, 8)) if args.vel else (t, t, t),
+        slab=args.slab or min(16 if args.vel else 32, args.size),
+        tile=tile,
+        tile1=args.tile1 or min(64 if args.vel else 128, args.size // 2),
         dtype=jnp.bfloat16,
         output_dtype=np.float16,
         packed=args.packed,
     )
+    print("geometry:", dict(slab=cfg.slab, tile=cfg.tile, tile1=cfg.tile1))
     proc = HierarchicalProcessor(model, params, cfg)
 
     Dz = jnp.atleast_1d(growth_factor(0.0, 0.3175)).astype(jnp.float32)

@@ -181,3 +181,41 @@ class TestVariantConsistency:
         fd = 50.0 * (np.asarray(da) - np.asarray(db)) / (2 * e)
         corr = np.corrcoef(np.asarray(v).ravel(), fd.ravel())[0, 1]
         assert corr > 0.95
+
+
+class TestBatchedCosmologySweep:
+    """A batched multi-cosmology forward (BASELINE config 5): per-sample
+    (z, Om) styles through one call must match per-sample single calls."""
+
+    def test_batched_styles_match_single(self, x, style_params):
+        from jax_nbody_emulator_with_dj_tpu.cosmology import growth_factor
+
+        model = StyleNBodyEmulatorCore(**CFG)
+        zs = np.array([0.0, 1.0], np.float32)
+        oms = np.array([0.2, 0.4], np.float32)
+        Dz = growth_factor(zs, oms)
+        out_b = model.apply(style_params, x, jnp.asarray(oms), Dz)
+        assert out_b.shape[0] == 2
+        for i in range(2):
+            out_i = model.apply(
+                style_params, x[i : i + 1],
+                jnp.atleast_1d(oms[i]), jnp.atleast_1d(Dz[i]),
+            )
+            np.testing.assert_allclose(out_b[i], out_i[0], rtol=1e-5, atol=1e-6)
+
+    def test_batched_styles_match_single_vel(self, x, style_params):
+        from jax_nbody_emulator_with_dj_tpu.cosmology import growth_factor, vel_norm
+
+        model = StyleNBodyEmulatorVelCore(**CFG)
+        zs = np.array([0.5, 2.0], np.float32)
+        oms = np.array([0.25, 0.35], np.float32)
+        Dz = growth_factor(zs, oms)
+        vf = vel_norm(zs, oms)
+        d_b, v_b = model.apply(style_params, x, jnp.asarray(oms), Dz, vf)
+        for i in range(2):
+            d_i, v_i = model.apply(
+                style_params, x[i : i + 1],
+                jnp.atleast_1d(oms[i]), jnp.atleast_1d(Dz[i]), jnp.atleast_1d(vf[i]),
+            )
+            np.testing.assert_allclose(d_b[i], d_i[0], rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(v_b[i], v_i[0], rtol=1e-5, atol=2e-5)
