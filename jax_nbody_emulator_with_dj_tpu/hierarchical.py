@@ -62,7 +62,10 @@ from .models.blocks import (
     apply_resnet_block_packed,
     apply_resnet_block_vel,
     apply_resnet_block_vel_packed,
+    apply_resnet_entry_packed,
+    apply_resnet_entry_vel_packed,
     pack_resample_params,
+    pack_resnet_entry_params,
     pack_resnet_params,
 )
 from .models.cores import NBodyEmulatorCore, NBodyEmulatorVelCore
@@ -153,7 +156,14 @@ class HierarchicalProcessor:
     def _pack_params(self, p):
         """Pre-pack the interior layers' weights for packed execution."""
         vel = self.compute_vel
-        pp = {"conv_l00": p["conv_l00"], "conv_r01": p["conv_r01"]}  # unpacked
+        pp = {
+            # entry block: NCDHW C=3 input -> packed directly (XLA's conv
+            # emitter is pathological on 3-channel inputs)
+            "conv_l00": pack_resnet_entry_params(p["conv_l00"], "CACA", vel=vel),
+            # exit block: stays packed through the 64->3 tail; the output
+            # leaves packed space via one unpack_to_ncdhw relayout
+            "conv_r01": pack_resnet_params(p["conv_r01"], "CAC", vel=vel),
+        }
         for name in ("conv_l01", "conv_l1", "conv_l2", "conv_c"):
             pp[name] = pack_resnet_params(p[name], "CACA", vel=vel)
         for name in ("conv_r2", "conv_r1", "conv_r00"):
@@ -366,17 +376,18 @@ class HierarchicalProcessor:
         p = params["params"]
         packed = self.config.packed
         if self.compute_vel:
-            h, dh = apply_resnet_block_vel(p["conv_l00"], slab, None, "CACA", in_fmt="NCDHW")
             if packed:
-                h, dh = s2d.pack(h), s2d.pack(dh)
+                h, dh = apply_resnet_entry_vel_packed(p["conv_l00"], slab)
                 h, dh = apply_resnet_block_vel_packed(p["conv_l01"], h, dh, "CACA")
                 return apply_resample_block_vel_packed(p["down_l0"], h, dh, "DA")
+            h, dh = apply_resnet_block_vel(p["conv_l00"], slab, None, "CACA", in_fmt="NCDHW")
             h, dh = apply_resnet_block_vel(p["conv_l01"], h, dh, "CACA")
             return apply_resample_block_vel(p["down_l0"], h, dh, "DA")
-        h = apply_resnet_block(p["conv_l00"], slab, "CACA", in_fmt="NCDHW")
         if packed:
-            h = apply_resnet_block_packed(p["conv_l01"], s2d.pack(h), "CACA")
+            h = apply_resnet_entry_packed(p["conv_l00"], slab)
+            h = apply_resnet_block_packed(p["conv_l01"], h, "CACA")
             return apply_resample_block_packed(p["down_l0"], h, "DA")
+        h = apply_resnet_block(p["conv_l00"], slab, "CACA", in_fmt="NCDHW")
         h = apply_resnet_block(p["conv_l01"], h, "CACA")
         return apply_resample_block(p["down_l0"], h, "DA")
 
@@ -477,10 +488,9 @@ class HierarchicalProcessor:
         uc, ucw = (4, 2) if packed else (2, 2)
 
         if vel:
-            y0, dy0 = apply_resnet_block_vel(p["conv_l00"], box_tile, None, "CACA", in_fmt="NCDHW")
             r1, dr1 = r1_tile
             if packed:
-                y0, dy0 = s2d.pack(y0), s2d.pack(dy0)
+                y0, dy0 = apply_resnet_entry_vel_packed(p["conv_l00"], box_tile)
                 y0, dy0 = apply_resnet_block_vel_packed(p["conv_l01"], y0, dy0, "CACA")
                 u, du = apply_resample_block_vel_packed(p["up_r0"], r1, dr1, "UA")
                 u = u[:, uc:-uc, uc:-uc, ucw:-ucw]
@@ -488,8 +498,12 @@ class HierarchicalProcessor:
                 h = jnp.concatenate([y0, u], -1)
                 dh = jnp.concatenate([dy0, du], -1)
                 h, dh = apply_resnet_block_vel_packed(p["conv_r00"], h, dh, "CACA")
-                h, dh = s2d.unpack(h), s2d.unpack(dh)
+                h, dh = apply_resnet_block_vel_packed(p["conv_r01"], h, dh, "CAC")
+                h, dh = s2d.unpack_to_ncdhw(h), s2d.unpack_to_ncdhw(dh)
             else:
+                y0, dy0 = apply_resnet_block_vel(
+                    p["conv_l00"], box_tile, None, "CACA", in_fmt="NCDHW"
+                )
                 y0, dy0 = apply_resnet_block_vel(p["conv_l01"], y0, dy0, "CACA")
                 u, du = apply_resample_block_vel(p["up_r0"], r1, dr1, "UA")
                 u = u[:, uc:-uc, uc:-uc, ucw:-ucw]
@@ -497,27 +511,29 @@ class HierarchicalProcessor:
                 h = jnp.concatenate([y0, u], -1)
                 dh = jnp.concatenate([dy0, du], -1)
                 h, dh = apply_resnet_block_vel(p["conv_r00"], h, dh, "CACA")
-            h, dh = apply_resnet_block_vel(p["conv_r01"], h, dh, "CAC", out_fmt="NCDHW")
+                h, dh = apply_resnet_block_vel(p["conv_r01"], h, dh, "CAC", out_fmt="NCDHW")
             disp = (h + x0) * jnp.asarray(6.0, h.dtype)
             vf = vel_fac.reshape((1,) * 5)
             dz = Dz.reshape((1,) * 5)
             velocity = dh * (vf * 6.0).astype(h.dtype) + x0 * (vf * 6.0 / dz).astype(h.dtype)
             return disp, velocity
-        y0 = apply_resnet_block(p["conv_l00"], box_tile, "CACA", in_fmt="NCDHW")
         if packed:
-            y0 = apply_resnet_block_packed(p["conv_l01"], s2d.pack(y0), "CACA")
+            y0 = apply_resnet_entry_packed(p["conv_l00"], box_tile)
+            y0 = apply_resnet_block_packed(p["conv_l01"], y0, "CACA")
             u = apply_resample_block_packed(p["up_r0"], r1_tile, "UA")
             u = u[:, uc:-uc, uc:-uc, ucw:-ucw]
             h = jnp.concatenate([y0, u], -1)
             h = apply_resnet_block_packed(p["conv_r00"], h, "CACA")
-            h = s2d.unpack(h)
+            h = apply_resnet_block_packed(p["conv_r01"], h, "CAC")
+            h = s2d.unpack_to_ncdhw(h)
         else:
+            y0 = apply_resnet_block(p["conv_l00"], box_tile, "CACA", in_fmt="NCDHW")
             y0 = apply_resnet_block(p["conv_l01"], y0, "CACA")
             u = apply_resample_block(p["up_r0"], r1_tile, "UA")
             u = u[:, uc:-uc, uc:-uc, ucw:-ucw]
             h = jnp.concatenate([y0, u], -1)
             h = apply_resnet_block(p["conv_r00"], h, "CACA")
-        h = apply_resnet_block(p["conv_r01"], h, "CAC", out_fmt="NCDHW")
+            h = apply_resnet_block(p["conv_r01"], h, "CAC", out_fmt="NCDHW")
         return (h + x0) * jnp.asarray(6.0, h.dtype)
 
     # ------------------------------------------------------------------

@@ -433,3 +433,60 @@ def apply_resample_block_vel_packed(pp, xp, dxp, seq):
     if seq.endswith("A"):
         xp, dxp = leaky_relu_with_tangent(xp, dxp)
     return xp, dxp
+
+
+# ---------------------------------------------------------------------------
+# Entry block: the model's first 'CACA' block consumes the NCDHW C=3 input.
+# XLA's conv emitter is pathological on 3-channel inputs (~2.6 TF/s on a
+# v5e); the entry forms (ops/s2d.py: conv3_entry_packed) express the first
+# conv and skip as dot_generals over stacked taps, emitting the packed
+# channels-last layout directly.
+# ---------------------------------------------------------------------------
+
+
+def pack_resnet_entry_params(p, seq, *, vel: bool = False):
+    """Fold a 'CACA' entry block's params for packed NCDHW-input execution."""
+    main_seq, num_conv, _ = _resnet_channel_plan(seq, 0, 0)
+    assert num_conv == 2, "entry block is the model's first 'CACA' block"
+    out = {
+        "conv_0": {
+            "w": s2d.pack_w3_entry(p["conv_0"]["weight"]),
+            "b": s2d.pack_bias(p["conv_0"]["bias"].astype(jnp.float32)),
+        },
+        "conv_1": pack_conv_layer_params(p["conv_1"], "conv", vel=vel),
+        "skip": {
+            "w": s2d.pack_w1_entry(p["skip"]["weight"]),
+            "b": s2d.pack_bias(p["skip"]["bias"].astype(jnp.float32)),
+        },
+    }
+    if vel:
+        # First-layer rule: dx is None, so dy = conv(x, dW) — same entry form.
+        out["conv_0"]["dw"] = s2d.pack_w3_entry(p["conv_0"]["dweight"])
+        out["skip"]["dw"] = s2d.pack_w1_entry(p["skip"]["dweight"])
+    return out
+
+
+def apply_resnet_entry_packed(pp, x, seq="CACA"):
+    """Entry 'CACA' block: (B, C, D, H, W) NCDHW -> packed channels-last.
+
+    Output: (B, D-4, H-4, (W-4)/2, 2*mid).
+    """
+    h = s2d.conv3_entry_packed(x, pp["conv_0"]["w"]) + pp["conv_0"]["b"].astype(x.dtype)
+    h = leaky_relu(h)
+    h = s2d.conv3_packed(h, pp["conv_1"]["w"]) + pp["conv_1"]["b"].astype(x.dtype)
+    xs = x[:, :, 2:-2, 2:-2, 2:-2]
+    h = h + s2d.conv1_entry_packed(xs, pp["skip"]["w"]) + pp["skip"]["b"].astype(x.dtype)
+    return leaky_relu(h)
+
+
+def apply_resnet_entry_vel_packed(pp, x, seq="CACA"):
+    """Entry vel 'CACA' block (first-layer rule: tangent seeded from dW)."""
+    b0 = pp["conv_0"]["b"].astype(x.dtype)
+    h = s2d.conv3_entry_packed(x, pp["conv_0"]["w"]) + b0
+    dh = s2d.conv3_entry_packed(x, pp["conv_0"]["dw"])
+    h, dh = leaky_relu_with_tangent(h, dh)
+    h, dh = _apply_packed_vel(pp["conv_1"], h, dh, "conv")
+    xs = x[:, :, 2:-2, 2:-2, 2:-2]
+    h = h + s2d.conv1_entry_packed(xs, pp["skip"]["w"]) + pp["skip"]["b"].astype(x.dtype)
+    dh = dh + s2d.conv1_entry_packed(xs, pp["skip"]["dw"])
+    return leaky_relu_with_tangent(h, dh)

@@ -126,6 +126,88 @@ def pack_bias(b):
     return jnp.tile(b, 2)
 
 
+# ---------------------------------------------------------------------------
+# Entry convs: NCDHW small-C input -> packed channels-last output.
+#
+# XLA's conv emitter is pathological on C=3 inputs in either layout
+# (channels-last pads 3 -> 128 lanes, 42x; the mixed NCDHW form measured
+# ~2.6 TF/s / 42 ms per 512^2x40 slab on a v5e — dominating the level-0
+# entry block).  These forms express the first conv as one dot_general over
+# stacked kernel taps, writing the packed layout directly, so the level-0
+# entry block never materializes an unpacked C=64 (or padded C=3) tensor.
+#
+# Derivation: output position w = 2u+p reads input 2u+p+kw; in cell pairs
+# (cell u, cell u+1, 2 parities each) the source index is t = p+kw in 0..3.
+# ---------------------------------------------------------------------------
+
+
+def pack_w3_entry(w):
+    """(3,3,3,Ci,Co) -> (3,3,Ci,4,2Co) fold for ``conv3_entry_packed``."""
+    k1, k2, k3, ci, co = w.shape
+    assert (k1, k2, k3) == (3, 3, 3)
+    wf = jnp.zeros((3, 3, ci, 4, 2 * co), w.dtype)
+    for kw in range(3):
+        for p in range(2):
+            wf = wf.at[:, :, :, p + kw, p * co:(p + 1) * co].set(w[:, :, kw])
+    return wf
+
+
+def conv3_entry_packed(x, wf, *, accum_dtype=None):
+    """VALID 3x3x3 conv: (B, C, D, H, W) NCDHW -> (B, D-2, H-2, (W-2)/2, 2Co)."""
+    b, c, d, h, w_ = x.shape
+    xc = x.reshape(b, c, d, h, w_ // 2, 2)
+    # cell pairs: (B, C, D, H, U, 4) with U = W/2 - 1
+    xp = jnp.concatenate([xc[..., :-1, :], xc[..., 1:, :]], -1)
+    taps = jnp.stack(
+        [
+            xp[:, :, kd:kd + d - 2, kh:kh + h - 2]
+            for kd in range(3)
+            for kh in range(3)
+        ],
+        axis=2,
+    )  # (B, C, 9, D-2, H-2, U, 4)
+    wf9 = wf.reshape(3 * 3, wf.shape[2], 4, wf.shape[4])  # (9, Ci, 4, 2Co)
+    return jax.lax.dot_general(
+        taps, wf9.astype(x.dtype),
+        (((1, 2, 6), (1, 0, 2)), ((), ())),
+        preferred_element_type=accum_dtype or x.dtype,
+    )  # (B, D-2, H-2, U, 2Co)
+
+
+def unpack_to_ncdhw(yp):
+    """(B, D, H, U, 2C) packed -> (B, C, D, H, 2U) NCDHW.
+
+    Exit relayout for small-C outputs (the model's C=3 tail): the packed
+    conv emits (parity, channel) in the minor dim; NCDHW puts W minor (lane
+    dim 2U, no padding) — one transpose instead of XLA's pathological
+    C=3-output mixed conv.
+    """
+    b, d, h, u, c2 = yp.shape
+    c = c2 // 2
+    y = yp.reshape(b, d, h, u, 2, c)
+    return y.transpose(0, 5, 1, 2, 3, 4).reshape(b, c, d, h, 2 * u)
+
+
+def pack_w1_entry(w):
+    """(1,1,1,Ci,Co) (or (Ci,Co)) -> (Ci,2,2Co) fold for ``conv1_entry_packed``."""
+    w = w.reshape(w.shape[-2], w.shape[-1])
+    ci, co = w.shape
+    wf = jnp.zeros((ci, 2, 2 * co), w.dtype)
+    for p in range(2):
+        wf = wf.at[:, p, p * co:(p + 1) * co].set(w)
+    return wf
+
+
+def conv1_entry_packed(x, wf, *, accum_dtype=None):
+    """1x1x1 conv: (B, C, D, H, W) NCDHW -> (B, D, H, W/2, 2Co) packed."""
+    b, c, d, h, w_ = x.shape
+    xc = x.reshape(b, c, d, h, w_ // 2, 2)
+    return jax.lax.dot_general(
+        xc, wf.astype(x.dtype), (((1, 5), (0, 1)), ((), ())),
+        preferred_element_type=accum_dtype or x.dtype,
+    )
+
+
 def _dot(x, w2, out_dtype):
     return jax.lax.dot_general(
         x, w2.astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),

@@ -129,6 +129,8 @@ def main():
         return proc._phase2(proc._exec_params, h1, r1)
 
     r1 = run("phase2 (deep net, tiles)", phase2)
+    if not args.micro:
+        del h1  # phase 3 reads boxp + r1 only; h1 would crowd HBM
 
     out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
 

@@ -181,3 +181,70 @@ class TestPremodVelLayer:
         _, dy = apply_conv_layer_vel(p, x, None, "conv")
         dy_ref = conv3d(x, p["dweight"])
         np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_ref), rtol=1e-5, atol=1e-6)
+
+
+class TestEntryExitPacked:
+    """Entry convs (NCDHW small-C input -> packed output) and the exit
+    relayout must match the reference conv exactly (ops/s2d.py)."""
+
+    def test_conv3_entry_matches_conv3d(self):
+        from jax_nbody_emulator_with_dj_tpu.ops import s2d
+
+        x = jax.random.normal(jax.random.key(0), (2, 3, 10, 12, 16), jnp.float32)
+        w = jax.random.normal(jax.random.key(1), (3, 3, 3, 3, 5), jnp.float32)
+        ref = conv3d(jnp.moveaxis(x, 1, -1), w)
+        y = s2d.conv3_entry_packed(x, s2d.pack_w3_entry(w))
+        yu = s2d.unpack(y)
+        np.testing.assert_allclose(yu, ref, rtol=1e-5, atol=1e-5)
+
+    def test_conv1_entry_matches_matmul(self):
+        from jax_nbody_emulator_with_dj_tpu.ops import s2d
+
+        x = jax.random.normal(jax.random.key(2), (1, 3, 6, 8, 10), jnp.float32)
+        w = jax.random.normal(jax.random.key(3), (1, 1, 1, 3, 4), jnp.float32)
+        ref = jnp.einsum("bdhwc,co->bdhwo", jnp.moveaxis(x, 1, -1), w.reshape(3, 4))
+        y = s2d.conv1_entry_packed(x, s2d.pack_w1_entry(w))
+        np.testing.assert_allclose(s2d.unpack(y), ref, rtol=1e-5, atol=1e-6)
+
+    def test_unpack_to_ncdhw_roundtrip(self):
+        from jax_nbody_emulator_with_dj_tpu.ops import s2d
+
+        y = jax.random.normal(jax.random.key(4), (1, 4, 6, 5, 6), jnp.float32)
+        ncdhw = s2d.unpack_to_ncdhw(y)
+        assert ncdhw.shape == (1, 3, 4, 6, 10)
+        # same data as channels-last unpack, reordered
+        ndhwc = s2d.unpack(y)
+        np.testing.assert_array_equal(ncdhw, jnp.moveaxis(ndhwc, -1, 1))
+
+    def test_entry_block_matches_unpacked(self):
+        from jax_nbody_emulator_with_dj_tpu.models.blocks import (
+            apply_resnet_block,
+            apply_resnet_entry_packed,
+            pack_resnet_entry_params,
+            init_resnet_block,
+        )
+        from jax_nbody_emulator_with_dj_tpu.ops import s2d
+
+        p = init_resnet_block(jax.random.key(5), "CACA", 3, 8, style=False, vel=False)
+        x = jax.random.normal(jax.random.key(6), (1, 3, 12, 14, 16), jnp.float32)
+        ref = apply_resnet_block(p, x, "CACA", in_fmt="NCDHW")
+        pp = pack_resnet_entry_params(p, "CACA")
+        y = s2d.unpack(apply_resnet_entry_packed(pp, x))
+        np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+
+    def test_entry_block_vel_matches_unpacked(self):
+        from jax_nbody_emulator_with_dj_tpu.models.blocks import (
+            apply_resnet_block_vel,
+            apply_resnet_entry_vel_packed,
+            pack_resnet_entry_params,
+            init_resnet_block,
+        )
+        from jax_nbody_emulator_with_dj_tpu.ops import s2d
+
+        p = init_resnet_block(jax.random.key(7), "CACA", 3, 8, style=False, vel=True)
+        x = jax.random.normal(jax.random.key(8), (1, 3, 12, 14, 16), jnp.float32)
+        ref, dref = apply_resnet_block_vel(p, x, None, "CACA", in_fmt="NCDHW")
+        pp = pack_resnet_entry_params(p, "CACA", vel=True)
+        y, dy = apply_resnet_entry_vel_packed(pp, x)
+        np.testing.assert_allclose(s2d.unpack(y), ref, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(s2d.unpack(dy), dref, rtol=1e-5, atol=1e-5)
