@@ -45,6 +45,8 @@ def main():
                    help="hierarchical phase-3 output tile")
     p.add_argument("--slab", type=int, default=None,
                    help="hierarchical phase-1 D-slab thickness")
+    p.add_argument("--profile", action="store_true",
+                   help="sync between hierarchical phases and print per-phase times")
     args = p.parse_args()
 
     import jax
@@ -123,14 +125,19 @@ def main():
     out = proc.process_box(box, z=0.0, Om=0.3175, as_numpy=False)
     force_sync(out)
 
+    kw = {"profile": True} if (args.profile and use_hier) else {}
     times = []
     for _ in range(args.runs):
         out = None  # free the previous outputs — two full 512^3 output
         # sets alive at once would crowd the 16 GB chip in vel mode
         t0 = time.perf_counter()
-        out = proc.process_box(box, z=0.0, Om=0.3175, as_numpy=False)
+        out = proc.process_box(box, z=0.0, Om=0.3175, as_numpy=False, **kw)
         force_sync(out)
         times.append(time.perf_counter() - t0)
+        if kw:
+            import sys
+            print({k: round(v, 3) for k, v in proc.last_timings.items()},
+                  file=sys.stderr)
 
     best = min(times)
     voxels = float(np.prod(size))

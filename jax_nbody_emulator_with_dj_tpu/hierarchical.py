@@ -152,6 +152,16 @@ class HierarchicalProcessor:
         self._phase1 = jax.jit(self._phase1_all, donate_argnums=(2,))
         self._phase2 = jax.jit(self._phase2_all, donate_argnums=(2,))
         self._phase3 = jax.jit(self._phase3_all, donate_argnums=(3,))
+        # Input scale+wrap-pad, jitted ONCE here: a fresh jit(lambda) per
+        # process_box call retraces and recompiles every box (~3 s at 512^3).
+        dtype = config.dtype
+        self._scale = jax.jit(
+            lambda b, dz: _wrap_pad(
+                b[None] * (dz.astype(dtype) / jnp.asarray(6.0, dtype)),
+                8,
+                axes=(2, 3, 4),
+            )
+        )
 
     def _pack_params(self, p):
         """Pre-pack the interior layers' weights for packed execution."""
@@ -540,7 +550,34 @@ class HierarchicalProcessor:
     # Driver
     # ------------------------------------------------------------------
 
-    def process_box(self, input_box, z: float, Om: float, as_numpy: bool = True):
+    def process_box(
+        self,
+        input_box,
+        z: float,
+        Om: float,
+        as_numpy: bool = True,
+        profile: bool = False,
+    ):
+        """Emulate a full periodic box.
+
+        With ``profile=True`` a completion barrier runs after each phase and
+        per-stage wall times land in ``self.last_timings`` (adds barrier
+        latency; leave False in production).
+        """
+        import time as _time
+
+        from .utils.timing import force_sync as _fsync
+
+        timings = {}
+        _t0 = _time.perf_counter()
+
+        def _stamp(name, val):
+            nonlocal _t0
+            if profile:
+                _fsync(val)
+                timings[name] = _time.perf_counter() - _t0
+                _t0 = _time.perf_counter()
+
         cfg = self.config
         if tuple(input_box.shape) != (cfg.in_chan,) + cfg.size:
             raise ValueError(f"box shape {input_box.shape} != {(cfg.in_chan,) + cfg.size}")
@@ -558,26 +595,22 @@ class HierarchicalProcessor:
         # ~1 GB and the phase buffers dominate a 16 GB chip.
         if isinstance(input_box, np.ndarray):
             input_box = input_box.astype(jnp.dtype(cfg.dtype))
-        scale = jax.jit(
-            lambda b, dz: _wrap_pad(
-                b[None] * (dz.astype(cfg.dtype) / jnp.asarray(6.0, cfg.dtype)),
-                8,
-                axes=(2, 3, 4),
-            )
-        )
-        boxp = scale(jnp.asarray(input_box, cfg.dtype), Dz)
+        boxp = self._scale(jnp.asarray(input_box, cfg.dtype), Dz)
+        _stamp("scale", boxp)
 
         # ---- Phase 1: build the (phase-2-padded) level-1 volume -----------
         nbuf = 2 if self.compute_vel else 1
         h1_shape = self._buf_shape(self._h1_margin())
         h1 = tuple(jnp.zeros(h1_shape, cfg.dtype) for _ in range(nbuf))
         h1 = self._phase1(self._exec_params, boxp, h1)
+        _stamp("phase1", h1)
 
         # ---- Phase 2: deep network, tiled at level 1 ----------------------
         r1_shape = self._buf_shape(self._r1_margin())
         r1 = tuple(jnp.zeros(r1_shape, cfg.dtype) for _ in range(nbuf))
         r1 = self._phase2(self._exec_params, h1, r1)
         del h1
+        _stamp("phase2", r1)
         # ---- Phase 3: final decode, tiled ---------------------------------
         out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
         outs = tuple(
@@ -585,6 +618,9 @@ class HierarchicalProcessor:
         )
         outs = self._phase3(self._exec_params, boxp, r1, outs, Dz, vel_fac)
         del r1
+        _stamp("phase3", outs)
+        if profile:
+            self.last_timings = timings
 
         def fin(t):
             return np.asarray(t[0]) if as_numpy else t[0]
