@@ -55,7 +55,7 @@ def main():
             def body(i, acc):
                 eps = (jnp.float32(i % 2) * 1e-6).astype(x0.dtype)
                 y = fn(x0 + eps)
-                return acc + y.ravel()[0].astype(jnp.float32)
+                return acc + jnp.sum(y.astype(jnp.float32))  # full reduce: defeats slice-DCE
 
             return jax.lax.fori_loop(0, args.chain, body, jnp.float32(0))
 
