@@ -8,10 +8,12 @@ runtime exploits the U-Net's structure to cut the overhead to ~1.3x:
     applied to D-axis slabs of the full box (4-voxel D halos, periodic
     wrap in H/W), immediately downsampling each slab into the level-1
     buffer.  Full-resolution features are never stored.
-  Phase 2 (deep network, tiled at level 1): everything from conv_l1 through
-    conv_r1 runs on level-1 tiles with a parity-aligned 22-voxel margin —
-    the deep stack holds ~10% of the FLOPs, so its tiling overhead is
-    negligible while memory stays bounded.
+  Phase 2a (conv_l1, tiled at level 1): 2-voxel halo only — the level-1
+    encoder block writes a padded y1 volume.
+  Phase 2b (mid stack + conv_r1, tiled at level 1): down_l1 through conv_r1
+    on y1 tiles with a parity-aligned 20-voxel margin; conv_r1's skip
+    operand is the window's own center crop, so no extra buffer is needed.
+    Only the mid stack (~10% of FLOPs) pays the margin recompute.
   Phase 3 (tiled final decode): per output tile, y0 is recomputed from the
     input box (halo 8) and combined with an up_r0 slice of the phase-2
     buffer through conv_r00/conv_r01 (halo 4 [3 unpacked]) — small halos
@@ -150,7 +152,8 @@ class HierarchicalProcessor:
         # per-tile dispatch (and per-tile host->device anchor transfers)
         # dominated early versions of this runtime.
         self._phase1 = jax.jit(self._phase1_all, donate_argnums=(2,))
-        self._phase2 = jax.jit(self._phase2_all, donate_argnums=(2,))
+        self._phase2a = jax.jit(self._phase2a_all, donate_argnums=(2,))
+        self._phase2b = jax.jit(self._phase2b_all, donate_argnums=(2,))
         self._phase3 = jax.jit(self._phase3_all, donate_argnums=(3,))
         # Input scale+wrap-pad, jitted ONCE here: a fresh jit(lambda) per
         # process_box call retraces and recompiles every box (~3 s at 512^3).
@@ -189,7 +192,11 @@ class HierarchicalProcessor:
     # the producing phase).  Margins are (D, H, W) in the buffer's own W
     # units (cells when packed).
     def _h1_margin(self):
-        m = self.PHASE2_MARGIN
+        m = self.PHASE2A_MARGIN
+        return (m, m, m // 2) if self.config.packed else (m, m, m)
+
+    def _y1_margin(self):
+        m = self.PHASE2B_MARGIN
         return (m, m, m // 2) if self.config.packed else (m, m, m)
 
     def _r1_margin(self):
@@ -269,12 +276,23 @@ class HierarchicalProcessor:
         m = self._h1_margin()
         return tuple(self._fill_margins(h, m) for h in h1)
 
-    def _phase2_all(self, params, h1, r1_out):
+    def _phase2a_all(self, params, h1, y1_out):
+        cfg = self.config
+        anchors = self._tile_anchors([(s // 2, cfg.tile1) for s in cfg.size])
+
+        def body(i, y1):
+            return self._phase2a_step(params, h1, anchors[i], y1)
+
+        y1 = jax.lax.fori_loop(0, anchors.shape[0], body, y1_out)
+        m = self._y1_margin()
+        return tuple(self._fill_margins(y, m) for y in y1)
+
+    def _phase2b_all(self, params, y1, r1_out):
         cfg = self.config
         anchors = self._tile_anchors([(s // 2, cfg.tile1) for s in cfg.size])
 
         def body(i, r1):
-            return self._phase2_step(params, h1, anchors[i], r1)
+            return self._phase2b_step(params, y1, anchors[i], r1)
 
         r1 = jax.lax.fori_loop(0, anchors.shape[0], body, r1_out)
         m = self._r1_margin()
@@ -305,31 +323,56 @@ class HierarchicalProcessor:
             for buf, o in zip(h1_out, outs)
         )
 
-    def _phase2_step(self, params, h1, start, r1_out):
+    def _tile_window(self, bufs, start, halo, out_margin):
+        """Slice a (tile1 + 2*halo) window from padded buffers at `start`.
+
+        The buffers carry exactly `halo` baked margin, so the window begins
+        at the plain anchor in buffer coordinates.  Returns (windows, s5)
+        where s5 is the write offset into a buffer with `out_margin`.
+        """
         cfg = self.config
         m1 = cfg.tile1
-        hm = self.PHASE2_MARGIN
-        mr = self._r1_margin()
-        # h1 is padded by the phase-2 margin, so the (start - margin) tile
-        # window begins at plain `start` in buffer coordinates.
         if cfg.packed:
             starts = (0, start[0], start[1], start[2] // 2, 0)
-            sizes = (m1 + 2 * hm, m1 + 2 * hm, (m1 + 2 * hm) // 2)
-            s5 = (0, mr[0] + start[0], mr[1] + start[1], mr[2] + start[2] // 2, 0)
+            sizes = (m1 + 2 * halo, m1 + 2 * halo, (m1 + 2 * halo) // 2)
+            s5 = (
+                0,
+                out_margin[0] + start[0],
+                out_margin[1] + start[1],
+                out_margin[2] + start[2] // 2,
+                0,
+            )
         else:
             starts = (0, start[0], start[1], start[2], 0)
-            sizes = (m1 + 2 * hm,) * 3
-            s5 = (0, mr[0] + start[0], mr[1] + start[1], mr[2] + start[2], 0)
-        chan = h1[0].shape[-1]
+            sizes = (m1 + 2 * halo,) * 3
+            s5 = (
+                0,
+                out_margin[0] + start[0],
+                out_margin[1] + start[1],
+                out_margin[2] + start[2],
+                0,
+            )
+        chan = bufs[0].shape[-1]
 
         def tslice(h):
             return jax.lax.dynamic_slice(h, starts, (1,) + sizes + (chan,))
 
         if self.compute_vel:
-            t = tuple(tslice(h) for h in h1)
-        else:
-            t = tslice(h1[0])
-        out = self._phase2_tile(params, t)
+            return tuple(tslice(h) for h in bufs), s5
+        return tslice(bufs[0]), s5
+
+    def _phase2a_step(self, params, h1, start, y1_out):
+        t, s5 = self._tile_window(h1, start, self.PHASE2A_MARGIN, self._y1_margin())
+        out = self._phase2a_tile(params, t)
+        outs = out if self.compute_vel else (out,)
+        return tuple(
+            jax.lax.dynamic_update_slice(buf, o, s5)
+            for buf, o in zip(y1_out, outs)
+        )
+
+    def _phase2b_step(self, params, y1, start, r1_out):
+        t, s5 = self._tile_window(y1, start, self.PHASE2B_MARGIN, self._r1_margin())
+        out = self._phase2b_tile(params, t)
         outs = out if self.compute_vel else (out,)
         return tuple(
             jax.lax.dynamic_update_slice(buf, o, s5)
@@ -405,23 +448,26 @@ class HierarchicalProcessor:
     # Phase 2: deep network (level 1 .. conv_r1), tiled at level 1
     # ------------------------------------------------------------------
     #
-    # The deep stack from conv_l1 through conv_r1 has a 20-voxel receptive
-    # margin at level-1 resolution.  We use 22 (the subbox runtime's level-1
-    # offset, 48 -> 44/2) so the stride-2 grids stay even-aligned with the
-    # global grids at every level, and crop the extra 2/side at the end.
-    # The deep stack holds ~10% of the network FLOPs, so tiling it with this
-    # margin costs little while bounding memory to one (M+44)^3 x 64ch set.
-    PHASE2_MARGIN = 22
+    # Phase 2 is split so the margin recompute stays small:
+    #   2a: conv_l1 alone — 2-voxel halo at level 1;
+    #   2b: down_l1 .. conv_r1 — the mid stack plus the final level-1 block,
+    #       20-voxel halo (the mid stack's true margin is 18; 20 keeps every
+    #       stride-2 grid even-aligned: the down_l2 input start a/2-8 must be
+    #       even) with a 2-voxel slack crop at the end.  conv_r1's y1 operand
+    #       comes from the same window (center crop), so no third phase or
+    #       extra buffer is needed.
+    # The monolithic alternative (margin 22 around everything) paid a 4.8x
+    # recompute at tile1=64; the split pays ~1.2x on the level-1 blocks and
+    # ~2x only on the mid stack's ~10% of FLOPs.
+    PHASE2A_MARGIN = 2
+    PHASE2B_MARGIN = 20
     # Phase-3 level-1 halo: 3 voxels suffice (up_r0 + 2 convs); packed mode
     # uses 4 so the slice start lands on a W cell boundary.
     PHASE3_R1_MARGIN = 3
     PHASE3_R1_MARGIN_PACKED = 4
 
-    def _phase2_tile(self, params, t):
-        """t: (1, M+44, M+44, M+44[/2], mid) level-1 slice (+tangent if vel).
-
-        Returns the conv_r1 output tile (1, M, M, M[/2], mid) (+tangent).
-        """
+    def _block_helpers(self, params):
+        """(resnet, resample, cat, crop_like) closures over packed/vel mode."""
         p = params["params"]
         vel = self.compute_vel
         packed = self.config.packed
@@ -458,16 +504,33 @@ class HierarchicalProcessor:
                 )
             return jnp.concatenate([a, b], -1)
 
-        y1 = resnet("conv_l1", t)
-        h = resample("down_l1", y1, "DA")
+        return resnet, resample, cat, crop_like
+
+    def _phase2a_tile(self, params, t):
+        """conv_l1 on a (1, M+4, M+4, (M+4)[/2], mid) slice -> exact M tile."""
+        resnet, _, _, _ = self._block_helpers(params)
+        return resnet("conv_l1", t)
+
+    def _phase2b_tile(self, params, t):
+        """down_l1 .. conv_r1 on a (1, M+40, ., .[/2], mid) y1 slice.
+
+        Returns the conv_r1 output tile (1, M, M, M[/2], mid) (+tangent):
+        the mid stack runs on the window, conv_r1's y1 operand is the
+        window's own center crop, and the final 2-voxel slack is dropped.
+        """
+        vel = self.compute_vel
+        packed = self.config.packed
+        resnet, resample, cat, crop_like = self._block_helpers(params)
+
+        h = resample("down_l1", t, "DA")
         y2 = resnet("conv_l2", h)
         h = resample("down_l2", y2, "DA")
         h = resnet("conv_c", h)
         h = resample("up_r2", h, "UA")
         h = resnet("conv_r2", cat(crop_like(y2, h), h))
         h = resample("up_r1", h, "UA")
-        h = resnet("conv_r1", cat(crop_like(y1, h), h))
-        # margin 22 leaves 2 extra voxels per side (M+4 -> M)
+        h = resnet("conv_r1", cat(crop_like(t, h), h))
+        # margin 20 leaves 2 extra voxels per side (M+4 -> M)
         wslack = 1 if packed else 2
         if vel:
             return (
@@ -605,12 +668,20 @@ class HierarchicalProcessor:
         h1 = self._phase1(self._exec_params, boxp, h1)
         _stamp("phase1", h1)
 
-        # ---- Phase 2: deep network, tiled at level 1 ----------------------
+        # ---- Phase 2a: conv_l1 (level-1 block) ----------------------------
+        y1 = tuple(
+            jnp.zeros(self._buf_shape(self._y1_margin()), cfg.dtype)
+            for _ in range(nbuf)
+        )
+        y1 = self._phase2a(self._exec_params, h1, y1)
+        del h1
+        _stamp("phase2a", y1)
+        # ---- Phase 2b: mid stack + conv_r1 --------------------------------
         r1_shape = self._buf_shape(self._r1_margin())
         r1 = tuple(jnp.zeros(r1_shape, cfg.dtype) for _ in range(nbuf))
-        r1 = self._phase2(self._exec_params, h1, r1)
-        del h1
-        _stamp("phase2", r1)
+        r1 = self._phase2b(self._exec_params, y1, r1)
+        del y1
+        _stamp("phase2b", r1)
         # ---- Phase 3: final decode, tiled ---------------------------------
         out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
         outs = tuple(

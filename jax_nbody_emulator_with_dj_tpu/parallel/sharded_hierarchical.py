@@ -159,11 +159,16 @@ class ShardedHierarchicalProcessor:
             for _ in range(nbuf)
         )
         h1 = loc._phase1_all(params, boxp, h1)
+        y1 = tuple(
+            jnp.zeros(loc._buf_shape(loc._y1_margin()), cfg.dtype)
+            for _ in range(nbuf)
+        )
+        y1 = loc._phase2a_all(params, h1, y1)
         r1 = tuple(
             jnp.zeros(loc._buf_shape(loc._r1_margin()), cfg.dtype)
             for _ in range(nbuf)
         )
-        r1 = loc._phase2_all(params, h1, r1)
+        r1 = loc._phase2b_all(params, y1, r1)
         out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
         outs = tuple(
             jnp.zeros((1, cfg.in_chan) + cfg.size, out_dtype) for _ in range(nbuf)

@@ -121,16 +121,25 @@ def main():
 
     h1 = run("phase1 (encoder, slabs)", phase1)
 
-    def phase2():
+    def phase2a():
+        y1 = tuple(
+            jnp.zeros(proc._buf_shape(proc._y1_margin()), cfg.dtype)
+            for _ in range(nbuf)
+        )
+        return proc._phase2a(proc._exec_params, h1, y1)
+
+    y1 = run("phase2a (conv_l1, tiles)", phase2a)
+
+    def phase2b():
         r1 = tuple(
             jnp.zeros(proc._buf_shape(proc._r1_margin()), cfg.dtype)
             for _ in range(nbuf)
         )
-        return proc._phase2(proc._exec_params, h1, r1)
+        return proc._phase2b(proc._exec_params, y1, r1)
 
-    r1 = run("phase2 (deep net, tiles)", phase2)
+    r1 = run("phase2b (mid+conv_r1, tiles)", phase2b)
     if not args.micro:
-        del h1  # phase 3 reads boxp + r1 only; h1 would crowd HBM
+        del h1, y1  # phase 3 reads boxp + r1 only
 
     out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
 
@@ -142,50 +151,11 @@ def main():
     del r1
 
     def e2e():
-        return proc.process_box(box, 0.0, 0.3175, as_numpy=False)
+        return proc.process_box(box, 0.0, 0.3175, as_numpy=False, profile=True)
 
     run("process_box end-to-end", e2e)
-
-    # Inter-phase accounting: run process_box with syncs between stages.
-    import jax as _jax
-
-    def stamped():
-        t = {}
-        t0 = time.perf_counter()
-        Dz_ = Dz
-        boxp_ = scale(box, Dz_)
-        sync(boxp_)
-        t["scale"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        h1_ = tuple(
-            jnp.zeros(proc._buf_shape(proc._h1_margin()), cfg.dtype)
-            for _ in range(nbuf)
-        )
-        h1_ = proc._phase1(proc._exec_params, boxp_, h1_)
-        sync(h1_)
-        t["phase1"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        r1_ = tuple(
-            jnp.zeros(proc._buf_shape(proc._r1_margin()), cfg.dtype)
-            for _ in range(nbuf)
-        )
-        r1_ = proc._phase2(proc._exec_params, h1_, r1_)
-        sync(r1_)
-        t["phase2"] = time.perf_counter() - t0
-        del h1_
-        t0 = time.perf_counter()
-        out_dt = jnp.dtype(np.dtype(cfg.output_dtype))
-        outs = tuple(
-            jnp.zeros((1, cfg.in_chan) + cfg.size, out_dt) for _ in range(nbuf)
-        )
-        outs = proc._phase3(proc._exec_params, boxp_, r1_, outs, Dz, vel_fac)
-        sync(outs)
-        t["phase3"] = time.perf_counter() - t0
-        return t
-
-    stamped()
-    for k, v in stamped().items():
-        print(f"  stamped {k:10s} {v*1e3:10.1f} ms")
+    for k, v in proc.last_timings.items():
+        print(f"  in-context {k:10s} {v*1e3:10.1f} ms")
 
     if args.micro:
         # Micro: one phase-2 tile slice (pure dynamic_slice on the padded
