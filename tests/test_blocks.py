@@ -214,3 +214,40 @@ class TestCenterCrop:
         t = x5()
         c = _center_crop(t, t.shape[1:4])
         np.testing.assert_array_equal(np.asarray(c), np.asarray(t))
+
+
+class TestSplitCatBlocks:
+    """The implicit-concat decoder blocks must equal the explicit concat."""
+
+    def test_packed_cat_matches_concat(self):
+        from jax_nbody_emulator_with_dj_tpu.models.blocks import (
+            apply_resnet_block_packed,
+            apply_resnet_block_packed_cat,
+        )
+
+        p = init_resnet_block(KEY, "CACA", 8, 4, style=False, vel=False)
+        pp = pack_resnet_params(p, "CACA", groups=2)
+        a = s2d.pack(x5(4, key=jax.random.key(20)))
+        b = s2d.pack(x5(4, key=jax.random.key(21)))
+        ref = apply_resnet_block_packed(pp, jnp.concatenate([a, b], -1), "CACA")
+        y = apply_resnet_block_packed_cat(pp, (a, b), "CACA")
+        np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+
+    def test_packed_vel_cat_matches_concat(self):
+        from jax_nbody_emulator_with_dj_tpu.models.blocks import (
+            apply_resnet_block_vel_packed,
+            apply_resnet_block_vel_packed_cat,
+        )
+
+        p = init_resnet_block(KEY, "CACA", 8, 4, style=False, vel=True)
+        pp = pack_resnet_params(p, "CACA", groups=2, vel=True)
+        a = s2d.pack(x5(4, key=jax.random.key(22)))
+        b = s2d.pack(x5(4, key=jax.random.key(23)))
+        da = s2d.pack(x5(4, key=jax.random.key(24)))
+        db = s2d.pack(x5(4, key=jax.random.key(25)))
+        ry, rdy = apply_resnet_block_vel_packed(
+            pp, jnp.concatenate([a, b], -1), jnp.concatenate([da, db], -1), "CACA"
+        )
+        y, dy = apply_resnet_block_vel_packed_cat(pp, (a, b), (da, db), "CACA")
+        np.testing.assert_allclose(y, ry, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(dy, rdy, rtol=1e-5, atol=1e-5)
