@@ -97,6 +97,7 @@ class TestBundle:
         d, v = em.apply(x, z=0.5, Om=0.3)
         assert d.shape == v.shape == (1, 3, 8, 8, 8)
 
+    @pytest.mark.slow
     def test_apply_premod_matches_style(self, style_params):
         x = jax.random.normal(KEY, (1, 3, 32, 32, 32))
         em_s = create_emulator(params=style_params, compute_vel=False, **CFG)

@@ -203,6 +203,7 @@ class TestBatchedCosmologySweep:
             )
             np.testing.assert_allclose(out_b[i], out_i[0], rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_batched_styles_match_single_vel(self, x, style_params):
         from jax_nbody_emulator_with_dj_tpu.cosmology import growth_factor, vel_norm
 

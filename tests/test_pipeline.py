@@ -49,6 +49,7 @@ class TestPipeline:
         assert (out / "delta_emu.npy").exists()
         assert (out / "vel_emu.npy").exists()
 
+    @pytest.mark.slow
     def test_delta_mode(self, params):
         rng = np.random.default_rng(0)
         delta = rng.normal(size=(16, 16, 16)).astype(np.float32) * 0.1

@@ -327,6 +327,7 @@ class TestShardedHierarchical:
         scale = np.abs(v_ref).max()
         np.testing.assert_allclose(v / scale, v_ref / scale, rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.slow  # multi-wrap regime; heavy on 1-core CPU
     def test_output_stays_sharded(self, params3):
         from jax_nbody_emulator_with_dj_tpu.emulator import (
             modulate_emulator_parameters,
