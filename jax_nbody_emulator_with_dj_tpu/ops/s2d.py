@@ -153,25 +153,30 @@ def pack_w3_entry(w):
 
 
 def conv3_entry_packed(x, wf, *, accum_dtype=None):
-    """VALID 3x3x3 conv: (B, C, D, H, W) NCDHW -> (B, D-2, H-2, (W-2)/2, 2Co)."""
+    """VALID 3x3x3 conv: (B, C, D, H, W) NCDHW -> (B, D-2, H-2, (W-2)/2, 2Co).
+
+    One accumulated dot_general per (kd, kh) tap pair — stacking all nine
+    taps into one operand costs a window-sized x9 transient (~2 GB per
+    512^2 slab), which crowded the velocity path's HBM for no speed gain
+    (this conv is ~0.3% of the network FLOPs; it exists to bypass XLA's
+    pathological C=3 conv, not to feed the MXU).
+    """
     b, c, d, h, w_ = x.shape
     xc = x.reshape(b, c, d, h, w_ // 2, 2)
     # cell pairs: (B, C, D, H, U, 4) with U = W/2 - 1
     xp = jnp.concatenate([xc[..., :-1, :], xc[..., 1:, :]], -1)
-    taps = jnp.stack(
-        [
-            xp[:, :, kd:kd + d - 2, kh:kh + h - 2]
-            for kd in range(3)
-            for kh in range(3)
-        ],
-        axis=2,
-    )  # (B, C, 9, D-2, H-2, U, 4)
-    wf9 = wf.reshape(3 * 3, wf.shape[2], 4, wf.shape[4])  # (9, Ci, 4, 2Co)
-    return jax.lax.dot_general(
-        taps, wf9.astype(x.dtype),
-        (((1, 2, 6), (1, 0, 2)), ((), ())),
-        preferred_element_type=accum_dtype or x.dtype,
-    )  # (B, D-2, H-2, U, 2Co)
+    out = accum_dtype or x.dtype
+    y = None
+    for kd in range(3):
+        for kh in range(3):
+            lhs = xp[:, :, kd:kd + d - 2, kh:kh + h - 2]  # (B,C,D',H',U,4)
+            rhs = wf[kd, kh].astype(x.dtype)  # (Ci, 4, 2Co)
+            z = jax.lax.dot_general(
+                lhs, rhs, (((1, 5), (0, 1)), ((), ())),
+                preferred_element_type=out,
+            )
+            y = z if y is None else y + z
+    return y  # (B, D-2, H-2, U, 2Co)
 
 
 def unpack_to_ncdhw(yp):
