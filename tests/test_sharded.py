@@ -359,3 +359,39 @@ class TestShardedHierarchical:
             box, 0.0, 0.3175
         )
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+class TestPodScaleGeometry:
+    """BASELINE config 4: 1024^3+ boxes sharded over a mesh. Full execution
+    needs a pod slice; this validates the geometry end of the contract —
+    construction, local-config derivation, and abstract tracing of the
+    whole sharded pipeline at the production shapes."""
+
+    @pytest.mark.slow
+    def test_1024_geometry_traces(self):
+        from jax_nbody_emulator_with_dj_tpu.emulator import (
+            modulate_emulator_parameters_vel,
+        )
+        params3 = StyleNBodyEmulatorVelCore(mid_chan=4).init(KEY)
+        from jax_nbody_emulator_with_dj_tpu.hierarchical import HierarchicalConfig
+        from jax_nbody_emulator_with_dj_tpu.models import NBodyEmulatorVelCore
+        from jax_nbody_emulator_with_dj_tpu.parallel import (
+            ShardedHierarchicalProcessor,
+        )
+
+        params = modulate_emulator_parameters_vel(params3, 0.0, 0.3175)
+        model = NBodyEmulatorVelCore(mid_chan=4)
+        mesh = make_mesh((2, 2, 2))
+        cfg = HierarchicalConfig(
+            size=(1024, 1024, 1024), slab=16, tile=(128, 128, 128),
+            dtype=jnp.bfloat16, output_dtype=np.float16,
+        )
+        proc = ShardedHierarchicalProcessor(model, params, mesh, cfg)
+        # local shards 512^3: the production single-chip geometry
+        assert proc.config.size == (512, 512, 512)
+        assert proc.config.tile1 in (64, 128)
+        # abstract-trace the full sharded pipeline (no compile/execution)
+        x = jax.ShapeDtypeStruct((1, 3, 1024, 1024, 1024), jnp.bfloat16)
+        dz = jax.ShapeDtypeStruct((1,), jnp.float32)
+        lowered = proc._jit.lower(proc.local._exec_params, x, dz, dz)
+        assert lowered is not None
