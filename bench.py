@@ -45,6 +45,8 @@ def main():
                    help="hierarchical phase-3 output tile")
     p.add_argument("--slab", type=int, default=None,
                    help="hierarchical phase-1 D-slab thickness")
+    p.add_argument("--slab-h", type=int, default=None,
+                   help="hierarchical phase-1 H split (default: size/2 for vel)")
     p.add_argument("--profile", action="store_true",
                    help="sync between hierarchical phases and print per-phase times")
     args = p.parse_args()
@@ -94,7 +96,10 @@ def main():
         tile1 = args.tile1 if args.tile1 else min(64 if compute_vel else 128, args.size // 2)
         hcfg = HierarchicalConfig(
             size=size,
-            slab=args.slab or min(16 if compute_vel else 32, args.size),
+            slab=args.slab or min(32, args.size),
+            # vel: splitting H halves the slab working set, affording D-slab
+            # 32 (halo 1.25x) instead of 16 (1.5x) on a 16 GB chip
+            slab_h=args.slab_h or (args.size // 2 if compute_vel and args.size >= 256 else None),
             tile=tile,
             tile1=tile1,
             dtype=jnp.dtype(args.dtype),

@@ -88,6 +88,9 @@ def _wrap_pad(x, pad, axes=(1, 2, 3)):
 class HierarchicalConfig:
     size: tuple[int, int, int]
     slab: int = 32  # phase-1 D-slab thickness (even, divides size[0])
+    slab_h: int | None = None  # optional phase-1 H split (even, divides
+    # size[1]); halves the slab working set so memory-tight configs (the
+    # velocity path) can afford thicker D-slabs (smaller relative halo)
     tile: tuple[int, int, int] = (128, 128, 128)  # phase-3 output tiles
     tile1: int | None = None  # phase-2 level-1 tile (default min(64, N/2))
     dtype: jnp.dtype = jnp.bfloat16
@@ -100,6 +103,10 @@ class HierarchicalConfig:
         self.tile = tuple(int(t) for t in self.tile)
         if self.size[0] % self.slab or self.slab % 2:
             raise ValueError(f"slab {self.slab} must be even and divide D={self.size[0]}")
+        if self.slab_h is not None and (self.size[1] % self.slab_h or self.slab_h % 2):
+            raise ValueError(
+                f"slab_h {self.slab_h} must be even and divide H={self.size[1]}"
+            )
         for s, t in zip(self.size, self.tile):
             if s % t or t % 2:
                 raise ValueError(f"tile {self.tile} must be even and divide size {self.size}")
@@ -270,11 +277,15 @@ class HierarchicalProcessor:
     def _phase1_all(self, params, boxp, h1_out):
         cfg = self.config
         n_slabs = cfg.size[0] // cfg.slab
+        sh = cfg.slab_h or cfg.size[1]
+        n_h = cfg.size[1] // sh
 
         def body(i, h1):
-            return self._phase1_step(params, boxp, i * cfg.slab, h1)
+            return self._phase1_step(
+                params, boxp, (i // n_h) * cfg.slab, (i % n_h) * sh, h1
+            )
 
-        h1 = jax.lax.fori_loop(0, n_slabs, body, h1_out)
+        h1 = jax.lax.fori_loop(0, n_slabs * n_h, body, h1_out)
         m = self._h1_margin()
         return tuple(self._fill_margins(h, m) for h in h1)
 
@@ -309,18 +320,21 @@ class HierarchicalProcessor:
 
         return jax.lax.fori_loop(0, anchors.shape[0], body, outs)
 
-    def _phase1_step(self, params, boxp, d0, h1_out):
+    def _phase1_step(self, params, boxp, d0, h0, h1_out):
         cfg = self.config
-        nh, nw = cfg.size[1], cfg.size[2]
+        sh = cfg.slab_h or cfg.size[1]
+        nw = cfg.size[2]
         slab = jax.lax.dynamic_slice(
-            boxp, (0, 0, d0 + 4, 4, 4), (1, cfg.in_chan, cfg.slab + 8, nh + 8, nw + 8)
+            boxp,
+            (0, 0, d0 + 4, h0 + 4, 4),
+            (1, cfg.in_chan, cfg.slab + 8, sh + 8, nw + 8),
         )
         out = self._phase1_slab(params, slab)
         outs = out if self.compute_vel else (out,)
         m = self._h1_margin()
         return tuple(
             jax.lax.dynamic_update_slice(
-                buf, o, (0, m[0] + d0 // 2, m[1], m[2], 0)
+                buf, o, (0, m[0] + d0 // 2, m[1] + h0 // 2, m[2], 0)
             )
             for buf, o in zip(h1_out, outs)
         )

@@ -111,6 +111,11 @@ class ShardedHierarchicalProcessor:
         kw = dict(
             size=tuple(local_size),
             slab=min(config.slab, local_size[0]),
+            slab_h=(
+                config.slab_h
+                if config.slab_h and local_size[1] % config.slab_h == 0
+                else None
+            ),
             tile=tuple(min(t, s) for t, s in zip(config.tile, local_size)),
             dtype=config.dtype,
             output_dtype=config.output_dtype,

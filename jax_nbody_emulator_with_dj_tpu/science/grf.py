@@ -9,6 +9,8 @@ spectrum in the ensemble mean.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,6 +32,7 @@ def _interp_pk(kmag, k_table, p_table):
     return jnp.where(kmag > 0, jnp.exp(logp), 0.0)
 
 
+@partial(jax.jit, static_argnames=("n", "boxsize", "fixed_amplitude"))
 def gaussian_random_field(key, n: int, boxsize: float, k_table, p_table, *, fixed_amplitude: bool = False):
     """Draw delta(x) with power spectrum P(k).
 

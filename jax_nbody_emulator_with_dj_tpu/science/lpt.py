@@ -12,12 +12,16 @@ Dz), matching the reference's input convention.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .mas import deposit_displacement
 
 
+@partial(jax.jit, static_argnames=("boxsize",))
 def zeldovich_displacement(delta, boxsize: float):
     """1LPT displacement field from a linear density contrast.
 
@@ -47,6 +51,7 @@ def zeldovich_displacement(delta, boxsize: float):
     return jnp.stack(psi)
 
 
+@partial(jax.jit, static_argnames=("boxsize", "nmesh", "worder", "deconvolve"))
 def displacement_to_density(
     psi, boxsize: float, nmesh: int | None = None, worder: int = 2, deconvolve: bool = True
 ):

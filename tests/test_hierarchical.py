@@ -144,3 +144,20 @@ class TestValidation:
             HierarchicalConfig(size=(16, 16, 16), slab=8, tile=(5, 8, 8))
         with pytest.raises(ValueError):
             HierarchicalConfig(size=(12, 12, 12), slab=4, tile=(4, 4, 4))
+
+
+class TestPhase1HSplit:
+    @pytest.mark.slow
+    def test_slab_h_matches_full_h(self, style_params, box):
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=MID)
+        outs = []
+        for sh in (None, 8):
+            cfg = HierarchicalConfig(
+                size=(N,) * 3, slab=8, slab_h=sh, tile=(8, 8, 8),
+                dtype=jnp.float32, output_dtype=np.float32,
+            )
+            outs.append(
+                HierarchicalProcessor(model, params, cfg).process_box(box, 0.5, 0.3175)
+            )
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-7)
