@@ -39,7 +39,7 @@ allocated with their consumer's halo margin baked in: each phase's loop
 writes the interior, then six in-place strip copies replicate the periodic
 ghosts (axis by axis, so edges/corners compose).  Tile reads in the next
 phase are then pure ``dynamic_slice`` calls — the mod-index ``take``
-gathers this replaces were the dominant non-conv cost of early versions.
+gathers this replaces were previously the dominant non-conv cost.
 
 Supports the premodulated displacement and displacement+velocity models
 (the production configurations).  512^3 disp+vel fits a 16 GB chip.

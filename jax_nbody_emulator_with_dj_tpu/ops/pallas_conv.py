@@ -114,6 +114,13 @@ def _conv_kernel(
 
     # Linearize to rows (free relabel: RW % 8 == 0, full extents) and build
     # the one-row-shifted copy that realigns the ka=1 taps.
+    #
+    # INVARIANT: rows >= NP*PLANE of x2d/x2d_rot are never initialized (up
+    # to ~2*RW+pad rows of arbitrary VMEM).  Tap reads at the highest
+    # offsets do address them, but their products accumulate only into
+    # output rows whose (h, w) fall in the halo region, which the final
+    # ``[:, :BH, :BWP]`` block extraction drops.  If the row layout or the
+    # block extraction changes, zero-fill x2d/x2d_rot up to r_alloc first.
     x2d[0 : NP * PLANE, :] = xblk[...].reshape(NP * PLANE, c2)
     x2d_rot[0 : r_alloc - 1, :] = x2d[1:r_alloc, :]
 

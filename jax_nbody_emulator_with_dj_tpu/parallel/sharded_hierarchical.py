@@ -5,8 +5,9 @@
 ~5.4x FLOP overhead per shard.  This module instead shards the
 *hierarchical* runtime (``hierarchical.py``): each phase runs on the local
 shard, and the padded level-1 buffers' halo margins are filled by
-``ppermute`` exchanges from mesh neighbors (22 level-1 voxels after phase 1,
-4 after phase 2, 8 input voxels up front) instead of periodic self-wrap.
+``ppermute`` exchanges from mesh neighbors (8 input voxels up front, then
+2 level-1 voxels after phase 1, 20 after phase 2a, 4 after phase 2b)
+instead of periodic self-wrap.
 Total overlap overhead stays ~1.3x while the box scales across the ICI mesh.
 
 This is the intended production path for 1024^3/2048^3 boxes on pod slices
