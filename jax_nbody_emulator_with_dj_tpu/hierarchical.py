@@ -41,8 +41,13 @@ ghosts (axis by axis, so edges/corners compose).  Tile reads in the next
 phase are then pure ``dynamic_slice`` calls — the mod-index ``take``
 gathers this replaces were previously the dominant non-conv cost.
 
-Supports the premodulated displacement and displacement+velocity models
-(the production configurations).  512^3 disp+vel fits a 16 GB chip.
+Supports all four model variants.  The premodulated models run directly;
+the flexible-cosmology *style* models fold their style vector into
+premodulated weights per box (one jitted fold+pack — exact, since a
+whole-box call has a single style vector) and then ride the identical
+phases, so style big boxes get the same overlap-minimal runtime instead
+of falling back to the 5.4x-recompute subbox path.  512^3 disp+vel fits
+a 16 GB chip.
 """
 
 from __future__ import annotations
@@ -72,8 +77,14 @@ from .models.blocks import (
     pack_resnet_entry_params,
     pack_resnet_params,
 )
-from .models.cores import NBodyEmulatorCore, NBodyEmulatorVelCore
+from .models.cores import (
+    NBodyEmulatorCore,
+    NBodyEmulatorVelCore,
+    StyleNBodyEmulatorCore,
+    StyleNBodyEmulatorVelCore,
+)
 from .ops import s2d
+from .ops.style import style_vector
 
 
 def _wrap_pad(x, pad, axes=(1, 2, 3)):
@@ -135,25 +146,49 @@ class HierarchicalConfig:
 
 
 class HierarchicalProcessor:
-    """Overlap-minimal runtime for the premodulated 3-level models."""
+    """Overlap-minimal runtime for the 3-level models (premod or style)."""
 
     def __init__(self, model, params, config: HierarchicalConfig):
-        if not isinstance(model, (NBodyEmulatorCore, NBodyEmulatorVelCore)):
+        if not isinstance(
+            model,
+            (
+                NBodyEmulatorCore,
+                NBodyEmulatorVelCore,
+                StyleNBodyEmulatorCore,
+                StyleNBodyEmulatorVelCore,
+            ),
+        ):
             raise TypeError(
-                "HierarchicalProcessor supports the premodulated models; "
-                "fold style first (modulate_emulator_parameters[_vel])."
+                "HierarchicalProcessor supports the premodulated and style "
+                "emulator cores."
             )
         if getattr(model, "levels", 3) != 3:
             raise ValueError("hierarchical runtime implements the 3-level topology")
         self.model = model
         self.params = params
         self.config = config
-        self.compute_vel = isinstance(model, NBodyEmulatorVelCore)
-        self._exec_params = (
-            {"params": self._pack_params(params["params"])}
-            if config.packed
-            else params
+        self.styled = isinstance(
+            model, (StyleNBodyEmulatorCore, StyleNBodyEmulatorVelCore)
         )
+        self.compute_vel = isinstance(
+            model, (NBodyEmulatorVelCore, StyleNBodyEmulatorVelCore)
+        )
+        if self.styled:
+            # A whole-box call evaluates ONE style vector, so the styled
+            # forward equals the premodulated forward with the style folded
+            # at that (z, Om) — the fold IS the reference's premodulation
+            # (``nbody_emulator.py:150-187, 221-266``), bit-compared in
+            # tests.  Folding + packing per box is ~25 MB of weight math,
+            # negligible against the box itself, and lets the flexible-
+            # cosmology models ride the same overlap-minimal phases.
+            self._exec_params = None
+            self._fold = jax.jit(self._fold_exec)
+        else:
+            self._exec_params = (
+                {"params": self._pack_params(params["params"])}
+                if config.packed
+                else params
+            )
 
         # Each phase is ONE jitted program: a fori_loop whose body does
         # slice(s) from the source buffer, the phase network, and an
@@ -173,6 +208,29 @@ class HierarchicalProcessor:
                 8,
                 axes=(2, 3, 4),
             )
+        )
+
+    def _fold_exec(self, params, z, Om):
+        """Style params -> premodulated (packed) exec params at one (z, Om)."""
+        from .emulator import _modulate_tree
+
+        Dz = growth_factor(z, Om)
+        s = style_vector(Om, Dz)[0]
+        folded = _modulate_tree(
+            params, s, vel=self.compute_vel, eps=self.model.eps
+        )
+        if self.config.packed:
+            return {"params": self._pack_params(folded["params"])}
+        return folded
+
+    def _exec_params_for(self, z, Om):
+        """Per-call execution params (jitted style fold, or the baked tree)."""
+        if not self.styled:
+            return self._exec_params
+        return self._fold(
+            self.params,
+            jnp.asarray(z, jnp.float32),
+            jnp.asarray(Om, jnp.float32),
         )
 
     def _pack_params(self, p):
@@ -684,6 +742,7 @@ class HierarchicalProcessor:
         # ~1 GB and the phase buffers dominate a 16 GB chip.
         if isinstance(input_box, np.ndarray):
             input_box = input_box.astype(jnp.dtype(cfg.dtype))
+        exec_params = self._exec_params_for(z, Om)
         boxp = self._scale(jnp.asarray(input_box, cfg.dtype), Dz)
         _stamp("scale", boxp)
 
@@ -691,7 +750,7 @@ class HierarchicalProcessor:
         nbuf = 2 if self.compute_vel else 1
         h1_shape = self._buf_shape(self._h1_margin())
         h1 = tuple(jnp.zeros(h1_shape, cfg.dtype) for _ in range(nbuf))
-        h1 = self._phase1(self._exec_params, boxp, h1)
+        h1 = self._phase1(exec_params, boxp, h1)
         _stamp("phase1", h1)
 
         # ---- Phase 2a: conv_l1 (level-1 block) ----------------------------
@@ -699,13 +758,13 @@ class HierarchicalProcessor:
             jnp.zeros(self._buf_shape(self._y1_margin()), cfg.dtype)
             for _ in range(nbuf)
         )
-        y1 = self._phase2a(self._exec_params, h1, y1)
+        y1 = self._phase2a(exec_params, h1, y1)
         del h1
         _stamp("phase2a", y1)
         # ---- Phase 2b: mid stack + conv_r1 --------------------------------
         r1_shape = self._buf_shape(self._r1_margin())
         r1 = tuple(jnp.zeros(r1_shape, cfg.dtype) for _ in range(nbuf))
-        r1 = self._phase2b(self._exec_params, y1, r1)
+        r1 = self._phase2b(exec_params, y1, r1)
         del y1
         _stamp("phase2b", r1)
         # ---- Phase 3: final decode, tiled ---------------------------------
@@ -713,7 +772,7 @@ class HierarchicalProcessor:
         outs = tuple(
             jnp.zeros((1, cfg.in_chan) + cfg.size, out_dtype) for _ in range(nbuf)
         )
-        outs = self._phase3(self._exec_params, boxp, r1, outs, Dz, vel_fac)
+        outs = self._phase3(exec_params, boxp, r1, outs, Dz, vel_fac)
         del r1
         _stamp("phase3", outs)
         if profile:

@@ -91,8 +91,9 @@ class ShardedHierarchicalProcessor:
     """Overlap-minimal big-box runtime sharded over a device mesh.
 
     Args:
-        model: a premodulated model (``NBodyEmulatorCore`` or
-            ``NBodyEmulatorVelCore``).
+        model: any of the four emulator cores (style models fold their
+            style vector into premodulated weights per call — see
+            ``HierarchicalProcessor``).
         params: its parameters.
         mesh: 3D spatial device mesh (axes ``SPATIAL_AXES``).
         config: hierarchical geometry with **global** ``size``; ``slab``,
@@ -132,22 +133,51 @@ class ShardedHierarchicalProcessor:
         self.local = _LocalHierarchical(model, params, local_cfg, SPATIAL_AXES)
         self.config = local_cfg
         self.compute_vel = self.local.compute_vel
+        self.styled = self.local.styled
 
         self.in_spec = P(None, *SPATIAL_AXES)
         self._sharding = NamedSharding(mesh, self.in_spec)
-        out_specs = P(None, None, *SPATIAL_AXES)
-        pipeline = shard_map(
-            self._local_pipeline,
-            mesh=mesh,
-            in_specs=(P(), out_specs, P(), P()),
-            out_specs=(out_specs,) * (2 if self.compute_vel else 1),
-            check_vma=False,
+        nbuf = 2 if self.compute_vel else 1
+        io_spec = P(None, None, *SPATIAL_AXES)  # (1, C, D, H, W)
+        buf_spec = P(None, *SPATIAL_AXES, None)  # (1, D', H', W', C)
+        bufs = (buf_spec,) * nbuf
+
+        # The pipeline is split into one jitted program per phase — the
+        # same structure as the single-device runtime — so each phase's
+        # consumed source buffer is DONATED and its HBM is reusable for
+        # that phase's intermediates/output.  The monolithic one-jit
+        # alternative kept h1/y1/r1 and the outputs live simultaneously,
+        # a real OOM risk at production per-shard geometry.
+        def sm(fn, in_specs, out_specs):
+            return shard_map(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+
+        self._jit_scale = jax.jit(
+            sm(self._local_scale, (io_spec, P()), io_spec)
         )
-        self._jit = jax.jit(pipeline)
+        self._jit_phase1 = jax.jit(
+            sm(self._local_phase1, (P(), io_spec), bufs)
+        )
+        self._jit_phase2a = jax.jit(
+            sm(self._local_phase2a, (P(), bufs), bufs), donate_argnums=(1,)
+        )
+        self._jit_phase2b = jax.jit(
+            sm(self._local_phase2b, (P(), bufs), bufs), donate_argnums=(1,)
+        )
+        self._jit_phase3 = jax.jit(
+            sm(
+                self._local_phase3,
+                (P(), io_spec, bufs, P(), P()),
+                (io_spec,) * nbuf,
+            ),
+            donate_argnums=(1, 2),
+        )
 
-    # ---- per-shard program (runs inside shard_map) -----------------------
+    # ---- per-shard phase programs (each runs inside shard_map) -----------
 
-    def _local_pipeline(self, params, box, Dz, vel_fac):
+    def _local_scale(self, box, Dz):
         loc = self.local
         cfg = loc.config
         # Scale by Dz/6 (reference input convention) and pull the 8-voxel
@@ -155,31 +185,104 @@ class ShardedHierarchicalProcessor:
         boxp = box * (Dz.astype(cfg.dtype) / jnp.asarray(6.0, cfg.dtype)).reshape(
             (1,) * box.ndim
         )
-        boxp = halo_exchange(
+        return halo_exchange(
             boxp, 8, spatial_dims=(2, 3, 4), axis_names=SPATIAL_AXES
         )
 
+    def _local_phase1(self, params, boxp):
+        loc = self.local
         nbuf = 2 if self.compute_vel else 1
         h1 = tuple(
-            jnp.zeros(loc._buf_shape(loc._h1_margin()), cfg.dtype)
+            jnp.zeros(loc._buf_shape(loc._h1_margin()), loc.config.dtype)
             for _ in range(nbuf)
         )
-        h1 = loc._phase1_all(params, boxp, h1)
+        return loc._phase1_all(params, boxp, h1)
+
+    def _local_phase2a(self, params, h1):
+        loc = self.local
         y1 = tuple(
-            jnp.zeros(loc._buf_shape(loc._y1_margin()), cfg.dtype)
-            for _ in range(nbuf)
+            jnp.zeros(loc._buf_shape(loc._y1_margin()), loc.config.dtype)
+            for _ in h1
         )
-        y1 = loc._phase2a_all(params, h1, y1)
+        return loc._phase2a_all(params, h1, y1)
+
+    def _local_phase2b(self, params, y1):
+        loc = self.local
         r1 = tuple(
-            jnp.zeros(loc._buf_shape(loc._r1_margin()), cfg.dtype)
-            for _ in range(nbuf)
+            jnp.zeros(loc._buf_shape(loc._r1_margin()), loc.config.dtype)
+            for _ in y1
         )
-        r1 = loc._phase2b_all(params, y1, r1)
+        return loc._phase2b_all(params, y1, r1)
+
+    def _local_phase3(self, params, boxp, r1, Dz, vel_fac):
+        loc = self.local
+        cfg = loc.config
         out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
         outs = tuple(
-            jnp.zeros((1, cfg.in_chan) + cfg.size, out_dtype) for _ in range(nbuf)
+            jnp.zeros((1, cfg.in_chan) + cfg.size, out_dtype) for _ in r1
         )
         return loc._phase3_all(params, boxp, r1, outs, Dz, vel_fac)
+
+    # ---- ahead-of-time inspection -----------------------------------------
+
+    def abstract_inputs(self):
+        """Global ShapeDtypeStructs for every phase boundary (AOT tooling)."""
+        cfg = self.config
+        loc = self.local
+        mesh_shape = tuple(self.mesh.shape[a] for a in SPATIAL_AXES)
+        dt = jnp.dtype(cfg.dtype)
+        nbuf = 2 if self.compute_vel else 1
+
+        def g(shape, spatial_at, dtype=dt):
+            s = list(shape)
+            for i, m in zip(spatial_at, mesh_shape):
+                s[i] *= m
+            return jax.ShapeDtypeStruct(tuple(s), dtype)
+
+        ld, lh, lw = cfg.size
+        return {
+            "box": g((1, cfg.in_chan, ld, lh, lw), (2, 3, 4)),
+            "boxp": g((1, cfg.in_chan, ld + 16, lh + 16, lw + 16), (2, 3, 4)),
+            "h1": tuple(
+                g(loc._buf_shape(loc._h1_margin()), (1, 2, 3))
+                for _ in range(nbuf)
+            ),
+            "y1": tuple(
+                g(loc._buf_shape(loc._y1_margin()), (1, 2, 3))
+                for _ in range(nbuf)
+            ),
+            "r1": tuple(
+                g(loc._buf_shape(loc._r1_margin()), (1, 2, 3))
+                for _ in range(nbuf)
+            ),
+            "scalar": jax.ShapeDtypeStruct((1,), jnp.float32),
+        }
+
+    def lower_phases(self):
+        """Lower every phase jit abstractly (no device execution).
+
+        Returns a dict of ``jax.stages.Lowered``; ``.compile()`` each to run
+        XLA buffer assignment and read ``memory_analysis()`` — the per-phase
+        HBM budget audit used by ``tests/test_sharded.py``.
+        """
+        if self.styled:
+            raise NotImplementedError(
+                "lower_phases inspects the premodulated execution path; "
+                "fold style first."
+            )
+        a = self.abstract_inputs()
+        p = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+            self.local._exec_params,
+        )
+        s = a["scalar"]
+        return {
+            "scale": self._jit_scale.lower(a["box"], s),
+            "phase1": self._jit_phase1.lower(p, a["boxp"]),
+            "phase2a": self._jit_phase2a.lower(p, a["h1"]),
+            "phase2b": self._jit_phase2b.lower(p, a["y1"]),
+            "phase3": self._jit_phase3.lower(p, a["boxp"], a["r1"], s, s),
+        }
 
     # ---- public API -------------------------------------------------------
 
@@ -208,7 +311,15 @@ class ShardedHierarchicalProcessor:
         )
         if not (isinstance(box, jax.Array) and box.sharding == self._sharding):
             box = self.shard_input(box)
-        outs = self._jit(self.local._exec_params, box[None], Dz, vel_fac)
+        exec_params = self.local._exec_params_for(z, Om)
+        boxp = self._jit_scale(box[None], Dz)
+        h1 = self._jit_phase1(exec_params, boxp)
+        y1 = self._jit_phase2a(exec_params, h1)
+        del h1
+        r1 = self._jit_phase2b(exec_params, y1)
+        del y1
+        outs = self._jit_phase3(exec_params, boxp, r1, Dz, vel_fac)
+        del boxp, r1
         if as_numpy:
             outs = tuple(np.asarray(o[0]) for o in outs)
         else:

@@ -9,6 +9,11 @@ Everything is jittable and runs on device.
 """
 
 from .powerspec import power_spectrum, cross_power, transfer_and_correlation, summary_metrics
+from .powerspec_sharded import (
+    power_spectrum_sharded,
+    cross_power_sharded,
+    transfer_and_correlation_sharded,
+)
 from .linear_pk import eisenstein_hu_pk, sigma_r, normalize_sigma8
 from .grf import gaussian_random_field, white_noise_field
 from .lpt import zeldovich_displacement, displacement_to_density
@@ -36,6 +41,9 @@ __all__ = [
     "cross_power",
     "transfer_and_correlation",
     "summary_metrics",
+    "power_spectrum_sharded",
+    "cross_power_sharded",
+    "transfer_and_correlation_sharded",
     "eisenstein_hu_pk",
     "sigma_r",
     "normalize_sigma8",

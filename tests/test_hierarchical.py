@@ -132,10 +132,63 @@ class TestPackedMode:
 
 
 class TestValidation:
-    def test_requires_premodulated(self, style_params):
+    def test_rejects_non_model(self, style_params):
         cfg = HierarchicalConfig(size=(N,) * 3, slab=8, tile=(8, 8, 8))
         with pytest.raises(TypeError):
-            HierarchicalProcessor(StyleNBodyEmulatorVelCore(mid_chan=MID), style_params, cfg)
+            HierarchicalProcessor(object(), style_params, cfg)
+
+
+class TestStyleHierarchical:
+    """Flexible-cosmology (style) models ride the hierarchical runtime via
+    the per-call premodulation fold — must match the style subbox path."""
+
+    def test_style_matches_style_subbox_disp(self, style_params, box):
+        from jax_nbody_emulator_with_dj_tpu import StyleNBodyEmulatorCore
+
+        model = StyleNBodyEmulatorCore(mid_chan=MID)
+        scfg = SubboxConfig(size=(N,) * 3, ndiv=(2, 2, 2), dtype=jnp.float32)
+        ref = SubboxProcessor(model, style_params, scfg).process_box(box, 0.5, 0.3175)
+        cfg = HierarchicalConfig(
+            size=(N,) * 3, slab=8, tile=(8, 8, 8),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        out = HierarchicalProcessor(model, style_params, cfg).process_box(
+            box, 0.5, 0.3175
+        )
+        assert out.shape == (3, N, N, N)
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+    @pytest.mark.slow
+    def test_style_matches_style_subbox_vel(self, style_params, box):
+        model = StyleNBodyEmulatorVelCore(mid_chan=MID)
+        scfg = SubboxConfig(size=(N,) * 3, ndiv=(2, 2, 2), dtype=jnp.float32)
+        d_ref, v_ref = SubboxProcessor(model, style_params, scfg).process_box(
+            box, 0.5, 0.3175
+        )
+        cfg = HierarchicalConfig(
+            size=(N,) * 3, slab=8, tile=(8, 8, 8),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        d, v = HierarchicalProcessor(model, style_params, cfg).process_box(
+            box, 0.5, 0.3175
+        )
+        np.testing.assert_allclose(d, d_ref, rtol=2e-4, atol=2e-5)
+        scale = np.abs(v_ref).max()
+        np.testing.assert_allclose(v / scale, v_ref / scale, rtol=2e-4, atol=2e-4)
+
+    def test_style_fold_different_cosmologies_differ(self, style_params, box):
+        """The per-call fold must actually respond to (z, Om)."""
+        from jax_nbody_emulator_with_dj_tpu import StyleNBodyEmulatorCore
+
+        model = StyleNBodyEmulatorCore(mid_chan=MID)
+        cfg = HierarchicalConfig(
+            size=(N,) * 3, slab=8, tile=(8, 8, 8),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        proc = HierarchicalProcessor(model, style_params, cfg)
+        a = proc.process_box(box, 0.0, 0.3175)
+        b = proc.process_box(box, 1.0, 0.25)
+        assert not np.allclose(a, b)
 
     def test_geometry_validation(self):
         with pytest.raises(ValueError):

@@ -6,11 +6,15 @@ shape (this is the reference's "exact full coverage" contract lifted to the
 distributed setting).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from jax_nbody_emulator_with_dj_tpu.models import (
     StyleNBodyEmulatorCore,
@@ -390,8 +394,102 @@ class TestPodScaleGeometry:
         # local shards 512^3: the production single-chip geometry
         assert proc.config.size == (512, 512, 512)
         assert proc.config.tile1 in (64, 128)
-        # abstract-trace the full sharded pipeline (no compile/execution)
-        x = jax.ShapeDtypeStruct((1, 3, 1024, 1024, 1024), jnp.bfloat16)
-        dz = jax.ShapeDtypeStruct((1,), jnp.float32)
-        lowered = proc._jit.lower(proc.local._exec_params, x, dz, dz)
-        assert lowered is not None
+        # abstract-trace every phase of the sharded pipeline (no execution)
+        lowered = proc.lower_phases()
+        assert set(lowered) == {"scale", "phase1", "phase2a", "phase2b", "phase3"}
+        assert all(v is not None for v in lowered.values())
+
+    @pytest.mark.slow
+    def test_1024_vel_memory_budget(self):
+        """Compile (not just trace) the 1024^3 / 8-shard velocity geometry
+        and assert XLA's buffer assignment fits a 16 GB chip per phase.
+
+        Runs on the CPU mesh: buffer sizes are dtype/shape-driven, so the
+        CPU numbers track the TPU HBM footprint closely (TPU layout padding
+        differs at the margin).  Guards against regressions like phase
+        buffers being kept alive across the whole pipeline.
+        """
+        from jax_nbody_emulator_with_dj_tpu.emulator import (
+            modulate_emulator_parameters_vel,
+        )
+        from jax_nbody_emulator_with_dj_tpu.hierarchical import HierarchicalConfig
+        from jax_nbody_emulator_with_dj_tpu.models import NBodyEmulatorVelCore
+        from jax_nbody_emulator_with_dj_tpu.parallel import (
+            ShardedHierarchicalProcessor,
+        )
+
+        params3 = StyleNBodyEmulatorVelCore(mid_chan=64).init(KEY)
+        params = modulate_emulator_parameters_vel(params3, 0.0, 0.3175)
+        model = NBodyEmulatorVelCore(mid_chan=64)
+        mesh = make_mesh((2, 2, 2))
+        cfg = HierarchicalConfig(
+            size=(1024, 1024, 1024), slab=32, slab_h=256,
+            tile=(128, 128, 128), tile1=64,
+            dtype=jnp.bfloat16, output_dtype=np.float16,
+        )
+        proc = ShardedHierarchicalProcessor(model, params, mesh, cfg)
+        budget = 16 * 1024**3
+        n_dev = 8
+        for name, low in proc.lower_phases().items():
+            mem = low.compile().memory_analysis()
+            if mem is None:
+                pytest.skip("backend reports no memory analysis")
+            total = (
+                mem.temp_size_in_bytes
+                + mem.argument_size_in_bytes
+                + mem.output_size_in_bytes
+                - mem.alias_size_in_bytes
+            )
+            per_dev = total / n_dev
+            assert per_dev < budget, (
+                f"{name}: {per_dev/2**30:.2f} GiB/device exceeds 16 GiB"
+            )
+
+    @pytest.mark.slow
+    def test_2048_geometry_v5e16(self):
+        """The north-star config: 2048^3 disp+vel over a v5e-16 (4, 2, 2)
+        mesh.  Needs 16 devices, so the local-config derivation + abstract
+        trace run in a 16-virtual-device subprocess."""
+        import subprocess
+        import sys
+
+        code = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+import sys
+sys.path.insert(0, os.environ["NBODY_REPO_ROOT"])
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_platforms", "cpu")
+from jax_nbody_emulator_with_dj_tpu import StyleNBodyEmulatorVelCore
+from jax_nbody_emulator_with_dj_tpu.emulator import modulate_emulator_parameters_vel
+from jax_nbody_emulator_with_dj_tpu.hierarchical import HierarchicalConfig
+from jax_nbody_emulator_with_dj_tpu.models import NBodyEmulatorVelCore
+from jax_nbody_emulator_with_dj_tpu.parallel import (
+    ShardedHierarchicalProcessor, make_mesh,
+)
+
+params3 = StyleNBodyEmulatorVelCore(mid_chan=4).init(jax.random.key(0))
+params = modulate_emulator_parameters_vel(params3, 0.0, 0.3175)
+model = NBodyEmulatorVelCore(mid_chan=4)
+mesh = make_mesh((4, 2, 2))
+cfg = HierarchicalConfig(
+    size=(2048, 2048, 2048), slab=32, slab_h=256,
+    tile=(128, 128, 128), tile1=64,
+    dtype=jnp.bfloat16, output_dtype=np.float16,
+)
+proc = ShardedHierarchicalProcessor(model, params, mesh, cfg)
+assert proc.config.size == (512, 1024, 1024), proc.config.size
+lowered = proc.lower_phases()
+assert set(lowered) == {"scale", "phase1", "phase2a", "phase2b", "phase3"}
+print("2048-v5e16-OK")
+"""
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["NBODY_REPO_ROOT"] = ROOT
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=900, env=env,
+        )
+        assert "2048-v5e16-OK" in out.stdout, out.stderr[-2000:]
