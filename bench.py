@@ -20,9 +20,18 @@ import time
 
 import numpy as np
 
-# Reference A100 fp16 numbers (README.md:245-249): disp-only 10.9 s,
-# disp+vel 25.8 s at 512^3.
-BASELINE_SECONDS = {"disp": 10.9, "dispvel": 25.8}
+# Reference A100 numbers at 512^3 (README.md:245-252), keyed by
+# (style, vel, f32).  bf16 rows compare against the reference's fp16 rows.
+BASELINE_SECONDS = {
+    (False, False, False): 10.9,
+    (True, False, False): 11.1,
+    (False, False, True): 15.6,
+    (True, False, True): 15.8,
+    (False, True, False): 25.8,
+    (True, True, False): 25.9,
+    (False, True, True): 44.7,
+    (True, True, True): 44.9,
+}
 
 
 def main():
@@ -80,23 +89,31 @@ def main():
         model = NBodyEmulatorCore(mid_chan=args.mid_chan)
 
     size = (args.size,) * 3
-    use_hier = args.runtime == "hierarchical" and not args.style
+    # Style models ride the hierarchical runtime too (per-call style fold).
+    use_hier = args.runtime == "hierarchical"
     if use_hier:
         from jax_nbody_emulator_with_dj_tpu.hierarchical import (
             HierarchicalConfig,
             HierarchicalProcessor,
         )
 
-        # The velocity path threads (x, dx) pairs -> ~2x working sets; use
-        # the measured-fitting geometry on 16 GB chips.
+        # The velocity path threads (x, dx) pairs -> ~2x working sets, and
+        # f32 doubles every buffer again; use measured-fitting geometry on
+        # 16 GB chips.
+        f32 = jnp.dtype(args.dtype) == jnp.float32
         t = min(128, args.size)
-        tile = tuple(args.tile) if args.tile else (
-            (t, t, t) if compute_vel else (t, min(2 * t, args.size), min(2 * t, args.size))
-        )
+        if args.tile:
+            tile = tuple(args.tile)
+        elif compute_vel:
+            tile = (min(64, t), t, t) if f32 else (t, t, t)
+        else:
+            t2 = min(2 * t, args.size)
+            tile = (t, t, t2) if f32 else (t, t2, t2)
         tile1 = args.tile1 if args.tile1 else min(64 if compute_vel else 128, args.size // 2)
+        slab = args.slab or min(16 if (f32 and compute_vel) else 32, args.size)
         hcfg = HierarchicalConfig(
             size=size,
-            slab=args.slab or min(32, args.size),
+            slab=slab,
             # vel: splitting H halves the slab working set, affording D-slab
             # 32 (halo 1.25x) instead of 16 (1.5x) on a 16 GB chip
             slab_h=args.slab_h or (args.size // 2 if compute_vel and args.size >= 256 else None),
@@ -147,9 +164,14 @@ def main():
     best = min(times)
     voxels = float(np.prod(size))
     value = voxels / best
-    base = BASELINE_SECONDS["dispvel" if compute_vel else "disp"]
+    f32 = jnp.dtype(args.dtype) == jnp.float32
+    base = BASELINE_SECONDS[(bool(args.style), bool(compute_vel), f32)]
     baseline_vps = 512**3 / base
-    variant = ("style_" if args.style else "") + ("dispvel" if compute_vel else "disp")
+    variant = (
+        ("style_" if args.style else "")
+        + ("dispvel" if compute_vel else "disp")
+        + ("_f32" if f32 else "")
+    )
     record = {
         "metric": f"voxels_per_sec_chip_{args.size}_{variant}",
         "value": round(value, 1),

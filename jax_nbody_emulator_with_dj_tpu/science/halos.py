@@ -1,17 +1,21 @@
 """Friends-of-friends halo finding and halo mass functions.
 
 Replaces the reference's nbodykit+MPI FoF pipeline (``scripts/halos.py:
-352-465``) with a host-side periodic FoF built on scipy (cKDTree pair search
-in spatial chunks + union-find), plus:
+352-465``) with a host-side periodic FoF, plus:
 
   * empirical HMF dn/dlog10M with the Warren-style FoF mass-bias correction
     the reference applies (``halos.py:317-342``: n -> n(1 - n^-0.6));
   * Tinker et al. 2008 theory HMF from the linear P(k) (replacing Pylians
     ``MF_theory``).
 
-Scale note: this is a validation tool.  It comfortably handles up to a few
-hundred^3 particles on one host; the reference needed MPI because nbodykit
-distributes — at pod scale the emulator outputs stay sharded and a
+The group finder is a **cell-hash union-find**: particles are bucketed into
+periodic cells of the linking length (any pair within b spans at most one
+cell per axis), candidate pairs are generated per neighbor offset with
+vectorized ragged expansion — chunked over cells, so peak memory is O(N) —
+and linked pairs are merged with a batched path-halving union-find.  No
+per-particle Python loops and no global pair graph: 512^3 particles run on
+one host (the reference needed MPI nbodykit at that size,
+``halos.py:407-450``); at pod scale the emulator outputs stay sharded and a
 distributed FoF would be a separate subsystem.
 """
 
@@ -44,54 +48,166 @@ def positions_from_displacement(psi, boxsize: float):
     return np.mod(pos, boxsize).astype(np.float32)
 
 
+def _find_roots(parent: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Vectorized union-find root lookup with path halving."""
+    cur = parent[idx]
+    while True:
+        up = parent[cur]
+        if np.array_equal(up, cur):
+            return cur
+        parent[idx] = up  # halve the paths we walked through
+        cur = up
+
+
+def _union_batch(parent: np.ndarray, a: np.ndarray, b: np.ndarray) -> None:
+    """Merge pair batch (a_i ~ b_i) into the union-find forest.
+
+    Batched unions can conflict (several pairs rooting the same node), so
+    the merge iterates: link each root pair hi->lo via ``np.minimum.at``
+    (deterministic under collisions), then re-find until no pair straddles
+    two components.  Converges in O(log) rounds.
+    """
+    while len(a):
+        ra = _find_roots(parent, a)
+        rb = _find_roots(parent, b)
+        diff = ra != rb
+        if not diff.any():
+            return
+        a, b = a[diff], b[diff]
+        ra, rb = ra[diff], rb[diff]
+        hi = np.maximum(ra, rb)
+        lo = np.minimum(ra, rb)
+        np.minimum.at(parent, hi, lo)
+
+
+# The 13 positive-halfspace neighbor offsets + the self cell: every
+# unordered cell pair within the 27-neighborhood is visited exactly once.
+_HALF_OFFSETS = [(0, 0, 0), (0, 0, 1), (0, 1, -1), (0, 1, 0), (0, 1, 1)] + [
+    (1, dy, dz) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+]
+
+
 def friends_of_friends(
     positions: np.ndarray,
     boxsize: float,
     linking_length: float,
     nmin: int = 20,
-    chunk: int = 2_000_000,
+    chunk: int = 4_000_000,
 ):
-    """Periodic FoF group finder.
+    """Periodic FoF group finder (cell-hash + batched union-find).
+
+    O(N) memory; candidate pairs are generated per neighbor-cell offset in
+    cell chunks, distance-filtered with the periodic minimum image, and
+    merged into a union-find forest — no global pair graph.  512^3
+    particles run on one host (reference scale: ``halos.py:407-450``).
 
     Args:
         positions: (Np, 3) in [0, boxsize).
         boxsize: periodic box side.
         linking_length: absolute linking length b (same units).
         nmin: minimum group multiplicity to report.
-        chunk: pair-search chunk size (memory control).
+        chunk: candidate-pair batch size (memory control).
 
     Returns:
         dict with 'labels' (Np,) int32 (-1 for unreported), 'lengths',
         'centers' (group CM positions, periodic-aware), 'n_groups'.
     """
-    from scipy.sparse import coo_matrix
-    from scipy.sparse.csgraph import connected_components
-    from scipy.spatial import cKDTree
-
-    pos = np.asarray(positions, np.float64)
+    pos = np.asarray(positions, np.float32)
     n_p = len(pos)
-    tree = cKDTree(pos, boxsize=boxsize)
+    b = float(linking_length)
+    L = float(boxsize)
 
-    rows, cols = [], []
-    for start in range(0, n_p, chunk):
-        sub = pos[start : start + chunk]
-        pairs_lists = tree.query_ball_point(sub, r=linking_length, workers=-1)
-        for i, neigh in enumerate(pairs_lists):
-            gi = start + i
-            arr = np.asarray(neigh, np.int64)
-            arr = arr[arr > gi]  # dedupe (i<j) and drop self
-            if arr.size:
-                rows.append(np.full(arr.size, gi, np.int64))
-                cols.append(arr)
-    if rows:
-        rows = np.concatenate(rows)
-        cols = np.concatenate(cols)
-    else:
-        rows = np.zeros(0, np.int64)
-        cols = np.zeros(0, np.int64)
+    # Cell grid: cell >= b so any linked pair spans <= 1 cell per axis.
+    ncell = max(1, int(np.floor(L / b)))
+    ncell = min(ncell, 2048)  # cap the id space; cells only get bigger
+    cell_w = L / ncell
+    ci = np.clip((pos / cell_w).astype(np.int64), 0, ncell - 1)
+    cid = (ci[:, 0] * ncell + ci[:, 1]) * ncell + ci[:, 2]
+    del ci
 
-    graph = coo_matrix((np.ones(len(rows), np.int8), (rows, cols)), shape=(n_p, n_p))
-    n_comp, labels = connected_components(graph, directed=False)
+    order = np.argsort(cid, kind="stable")
+    cid_sorted = cid[order]
+    del cid
+    # Occupied cells: ids (sorted unique), start offsets, counts.
+    uniq, starts, counts = np.unique(
+        cid_sorted, return_index=True, return_counts=True
+    )
+    del cid_sorted
+    ux = uniq // (ncell * ncell)
+    uy = (uniq // ncell) % ncell
+    uz = uniq % ncell
+
+    parent = np.arange(n_p, dtype=np.int64)
+
+    def link_pairs(ia, ib):
+        """Distance-filter candidate particle pairs and union them."""
+        d = np.abs(pos[ia] - pos[ib])
+        d = np.minimum(d, L - d)  # periodic minimum image
+        hit = (d[:, 0] <= b) & (d[:, 1] <= b) & (d[:, 2] <= b)
+        hit &= (d * d).sum(axis=1) <= b * b
+        if hit.any():
+            _union_batch(parent, ia[hit], ib[hit])
+
+    def expand(c_idx, p_idx):
+        """All (particle of cell c, particle of cell p) candidate pairs.
+
+        Ragged vectorized expansion: for each cell pair, n1*n2 candidates.
+        """
+        n1 = counts[c_idx]
+        n2 = counts[p_idx]
+        tot = n1 * n2
+        nz = tot > 0
+        c_idx, p_idx, n1, n2, tot = (
+            c_idx[nz], p_idx[nz], n1[nz], n2[nz], tot[nz],
+        )
+        if not len(tot):
+            return (np.zeros(0, np.int64),) * 2
+        off = np.concatenate([[0], np.cumsum(tot)])
+        total = int(off[-1])
+        pair_cell = np.repeat(np.arange(len(tot)), tot)  # which cell pair
+        within = np.arange(total, dtype=np.int64) - off[pair_cell]
+        ia = starts[c_idx][pair_cell] + within // n2[pair_cell]
+        ib = starts[p_idx][pair_cell] + within % n2[pair_cell]
+        return order[ia], order[ib]
+
+    n_occ = len(uniq)
+    # Chunk over occupied cells so each expansion stays ~`chunk` pairs.
+    mean_occ = max(1.0, n_p / max(n_occ, 1))
+    cells_per_batch = max(1, int(chunk / (mean_occ * mean_occ)))
+    for dx, dy, dz in _HALF_OFFSETS:
+        self_pair = (dx, dy, dz) == (0, 0, 0)
+        for s0 in range(0, n_occ, cells_per_batch):
+            sel = np.arange(s0, min(s0 + cells_per_batch, n_occ))
+            if self_pair:
+                c_idx = sel[counts[sel] > 1]
+                if not len(c_idx):
+                    continue
+                ia, ib = expand(c_idx, c_idx)
+                keep = ia < ib  # dedupe within-cell pairs
+                link_pairs(ia[keep], ib[keep])
+                continue
+            # periodic partner cell of each occupied cell in this batch
+            px = (ux[sel] + dx) % ncell
+            py = (uy[sel] + dy) % ncell
+            pz = (uz[sel] + dz) % ncell
+            pid = (px * ncell + py) * ncell + pz
+            p_idx = np.searchsorted(uniq, pid)
+            p_idx = np.clip(p_idx, 0, n_occ - 1)
+            occupied = uniq[p_idx] == pid
+            if ncell <= 2:
+                # degenerate tiny grids: offset wraps onto the same cell
+                occupied &= pid != uniq[sel]
+            if not occupied.any():
+                continue
+            ia, ib = expand(sel[occupied], p_idx[occupied])
+            if ncell <= 2:
+                keep = ia != ib
+                ia, ib = ia[keep], ib[keep]
+            link_pairs(ia, ib)
+
+    labels = _find_roots(parent, np.arange(n_p, dtype=np.int64))
+    roots, labels = np.unique(labels, return_inverse=True)
+    n_comp = len(roots)
 
     lengths = np.bincount(labels, minlength=n_comp)
     keep = lengths >= nmin
@@ -102,15 +218,15 @@ def friends_of_friends(
 
     # Periodic center of mass via circular mean per axis.
     centers = np.zeros((len(group_ids), 3), np.float64)
-    two_pi = 2 * np.pi / boxsize
+    two_pi = 2 * np.pi / L
     for d in range(3):
-        ang = pos[:, d] * two_pi
+        ang = pos[:, d].astype(np.float64) * two_pi
         cs = np.zeros(n_comp)
         sn = np.zeros(n_comp)
         np.add.at(cs, labels, np.cos(ang))
         np.add.at(sn, labels, np.sin(ang))
         mean_ang = np.arctan2(sn[group_ids], cs[group_ids])
-        centers[:, d] = np.mod(mean_ang / (2 * np.pi), 1.0) * boxsize
+        centers[:, d] = np.mod(mean_ang / (2 * np.pi), 1.0) * L
 
     return {
         "labels": out_labels,

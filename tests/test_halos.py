@@ -101,3 +101,80 @@ class TestHMF:
         dn0 = tinker08_hmf(m, k, p, Om=0.3175, z=0.0)
         dn1 = tinker08_hmf(m, k, p, Om=0.3175, z=1.0)
         assert np.all(dn1 < dn0)  # fewer massive halos at high z
+
+
+class TestFoFAgainstKDTree:
+    """The cell-hash union-find must reproduce an independent scipy
+    cKDTree + connected-components FoF exactly (same groups, same sizes)."""
+
+    @staticmethod
+    def _kdtree_fof(pos, boxsize, b):
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(pos, boxsize=boxsize)
+        pairs = tree.query_pairs(b, output_type="ndarray")
+        n = len(pos)
+        g = coo_matrix(
+            (np.ones(len(pairs), np.int8), (pairs[:, 0], pairs[:, 1])),
+            shape=(n, n),
+        )
+        ncomp, labels = connected_components(g, directed=False)
+        return labels
+
+    def _compare(self, pos, boxsize, b, nmin=2):
+        ref_labels = self._kdtree_fof(pos, boxsize, b)
+        ref_lengths = np.sort(
+            np.bincount(ref_labels)[np.bincount(ref_labels) >= nmin]
+        )
+        res = friends_of_friends(pos, boxsize, b, nmin=nmin)
+        got_lengths = np.sort(res["lengths"])
+        np.testing.assert_array_equal(got_lengths, ref_lengths)
+        # group partitions must agree exactly: co-membership check
+        got = res["labels"]
+        both = (got >= 0) & (np.isin(ref_labels, np.nonzero(
+            np.bincount(ref_labels) >= nmin)[0]))
+        # map each got-group to the ref-group of its first member
+        for gid in range(res["n_groups"]):
+            members = np.nonzero(got == gid)[0]
+            assert len(np.unique(ref_labels[members])) == 1
+
+    def test_random_points(self):
+        rng = np.random.default_rng(0)
+        pos = rng.uniform(0, 50.0, size=(4000, 3)).astype(np.float32)
+        self._compare(pos, 50.0, b=1.2)
+
+    def test_clustered_points(self):
+        rng = np.random.default_rng(1)
+        centers = rng.uniform(0, 100.0, size=(40, 3))
+        pts = (centers[:, None, :] + rng.normal(0, 0.8, size=(40, 60, 3))).reshape(-1, 3)
+        pos = np.mod(pts, 100.0).astype(np.float32)
+        self._compare(pos, 100.0, b=0.9)
+
+    def test_boundary_wrap_clusters(self):
+        rng = np.random.default_rng(2)
+        # clusters straddling all three periodic faces
+        base = np.array([[0.0, 25.0, 25.0], [25.0, 0.0, 25.0], [25.0, 25.0, 0.0]])
+        pts = (base[:, None, :] + rng.normal(0, 0.5, size=(3, 200, 3))).reshape(-1, 3)
+        pos = np.mod(pts, 50.0).astype(np.float32)
+        self._compare(pos, 50.0, b=0.6)
+
+    @pytest.mark.slow
+    def test_grid_displaced_64(self):
+        """64^3 grid particles with LPT-like displacements (the production
+        input shape) against the kdtree reference."""
+        import jax
+        import jax.numpy as jnp
+
+        from jax_nbody_emulator_with_dj_tpu.science import (
+            positions_from_displacement,
+        )
+
+        n = 64
+        psi = np.asarray(
+            2.0 * jax.random.normal(jax.random.key(5), (3, n, n, n), jnp.float32)
+        )
+        pos = positions_from_displacement(psi, boxsize=100.0)
+        b = 0.2 * (100.0 / n)
+        self._compare(pos, 100.0, b=b, nmin=5)
