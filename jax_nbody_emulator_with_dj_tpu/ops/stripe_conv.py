@@ -65,6 +65,7 @@ def _kernel(
     OD: int,
     SR: int,
     cins,
+    acc_split: int = 2,
 ):
     # refs: x2d_0..x2d_{n-1}, w, b, out, strips_0.., rots_0.., sems
     xs = refs[:n_in]
@@ -123,7 +124,13 @@ def _kernel(
 
     def chunk_body(ci, _):
         m0 = pl.multiple_of(ci * CHUNK, CHUNK)
-        acc = jnp.broadcast_to(bias[None, :], (CHUNK, bias.shape[0]))
+        # Independent accumulation chains: a single chained accumulator
+        # serializes all 18 tap matmuls behind each other's VPU add; a few
+        # parallel chains expose ILP to the MXU/VPU pipeline.
+        accs = [
+            jnp.broadcast_to(bias[None, :], (CHUNK, bias.shape[0]))
+        ] + [jnp.zeros((CHUNK, bias.shape[0]), jnp.float32) for _ in range(acc_split - 1)]
+        t = 0
         for kd in range(3):
             slot = slots[kd]
             for kh in range(3):
@@ -131,12 +138,16 @@ def _kernel(
                 for ka in range(2):
                     for i in range(n_in):
                         src = strips[i] if ka == 0 else rots[i]
-                        acc = acc + jax.lax.dot_general(
+                        accs[t % acc_split] = accs[t % acc_split] + jax.lax.dot_general(
                             src[slot, pl.ds(off, CHUNK), :],
                             w_ref[kd, kh, ka, pl.ds(sum(cins[:i]), cins[i]), :],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
+                        t += 1
+        acc = accs[0]
+        for extra in accs[1:]:
+            acc = acc + extra
         if leaky:
             acc = jnp.where(acc > 0, acc, 0.01 * acc)
         out_ref[pl.ds(m0, CHUNK), :] = acc.astype(out_ref.dtype)
@@ -175,7 +186,8 @@ def _pick_geometry(wpp: int, cins, co: int, itemsize: int = 2):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("leaky", "block_h", "interpret", "out_dtype")
+    jax.jit,
+    static_argnames=("leaky", "block_h", "interpret", "out_dtype", "acc_split"),
 )
 def conv3_packed_stripe(
     xps,
@@ -186,6 +198,7 @@ def conv3_packed_stripe(
     block_h: int | None = None,
     interpret: bool = False,
     out_dtype=None,
+    acc_split: int = 2,
 ):
     """Fused packed VALID conv (+bias +LeakyReLU) over concatenated parts.
 
@@ -251,6 +264,7 @@ def conv3_packed_stripe(
         OD=od,
         SR=SR,
         cins=cins,
+        acc_split=acc_split,
     )
 
     call = pl.pallas_call(

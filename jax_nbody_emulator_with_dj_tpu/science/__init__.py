@@ -13,6 +13,7 @@ from .powerspec_sharded import (
     power_spectrum_sharded,
     cross_power_sharded,
     transfer_and_correlation_sharded,
+    summary_metrics_sharded,
 )
 from .linear_pk import eisenstein_hu_pk, sigma_r, normalize_sigma8
 from .grf import gaussian_random_field, white_noise_field
@@ -44,6 +45,7 @@ __all__ = [
     "power_spectrum_sharded",
     "cross_power_sharded",
     "transfer_and_correlation_sharded",
+    "summary_metrics_sharded",
     "eisenstein_hu_pk",
     "sigma_r",
     "normalize_sigma8",

@@ -194,3 +194,53 @@ def transfer_and_correlation_sharded(
     t = jnp.sqrt(jnp.maximum(p_m, 1e-30) / jnp.maximum(p_t, 1e-30))
     c = p_x / jnp.sqrt(jnp.maximum(p_m * p_t, 1e-60))
     return k, t, c
+
+
+@partial(jax.jit, static_argnames=())
+def _moments(a, b):
+    """Distributed field moments: plain jnp reductions over sharded arrays
+    — GSPMD inserts the cross-shard collectives, nothing is gathered."""
+    a = a.astype(jnp.float32).ravel()
+    b = b.astype(jnp.float32).ravel()
+    ma, mb = jnp.mean(a), jnp.mean(b)
+    sa = jnp.std(a)
+    sb = jnp.std(b)
+    cov = jnp.mean((a - ma) * (b - mb))
+    return {
+        "rmse": jnp.sqrt(jnp.mean((a - b) ** 2)),
+        "pearson_r": cov / jnp.maximum(sa * sb, 1e-30),
+        "mean_model": ma,
+        "mean_target": mb,
+        "std_model": sa,
+        "std_target": sb,
+        "skew_model": jnp.mean((a - ma) ** 3) / jnp.maximum(sa**3, 1e-30),
+        "skew_target": jnp.mean((b - mb) ** 3) / jnp.maximum(sb**3, 1e-30),
+    }
+
+
+def summary_metrics_sharded(
+    delta_model, delta_target, mesh: Mesh, boxsize: float, kmax: float | None = None
+):
+    """On-mesh counterpart of ``powerspec.summary_metrics``: the same scalar
+    regression dict (``/root/reference/scripts/utils.py:1584-1603``) with
+    the fields left sharded — moments via GSPMD-distributed reductions,
+    spectra via the pencil FFT estimators."""
+    sharding = NamedSharding(mesh, P(*SPATIAL_AXES))
+    fields = tuple(
+        f
+        if isinstance(f, jax.Array) and f.sharding == sharding
+        else jax.device_put(jnp.asarray(f), sharding)
+        for f in (delta_model, delta_target)
+    )
+    mom = {k: float(v) for k, v in _moments(*fields).items()}
+    k, t, c = transfer_and_correlation_sharded(*fields, mesh, boxsize)
+    k, t, c = np.asarray(k), np.asarray(t), np.asarray(c)
+    sel = np.ones_like(k, bool) if kmax is None else (k <= kmax)
+    mom.update(
+        {
+            "median_abs_T_minus_1": float(np.median(np.abs(t[sel] - 1.0))),
+            "max_abs_T_minus_1": float(np.max(np.abs(t[sel] - 1.0))),
+            "mean_1_minus_C": float(np.mean(1.0 - c[sel])),
+        }
+    )
+    return mom

@@ -22,6 +22,7 @@ def main():
     p.add_argument("--block-h", type=int, default=None)
     p.add_argument("--cin-parts", type=int, default=1)
     p.add_argument("--skip-check", action="store_true")
+    p.add_argument("--acc-split", type=int, nargs="*", default=[1, 2, 3])
     args = p.parse_args()
 
     import jax
@@ -99,14 +100,34 @@ def main():
             jnp.concatenate(ts, axis=-1) if n_in > 1 else ts[0], wp
         ),
     )
-    timed(
-        "stripe (auto geom)",
-        lambda ts: conv3_packed_stripe(ts, wp, bp, leaky=True),
-    )
-    if args.block_h:
+
+    def conv3_tapdot(xp, w, accum):
+        bb, dd, hh, uu, _ = xp.shape
+        od_, oh_, ou_ = dd - 2, hh - 2, uu - 1
+        y = None
+        for kd in range(3):
+            for kh in range(3):
+                for ka in range(2):
+                    lhs = xp[:, kd:kd + od_, kh:kh + oh_, ka:ka + ou_, :]
+                    z = jax.lax.dot_general(
+                        lhs, w[kd, kh, ka].astype(xp.dtype),
+                        (((4,), (0,)), ((), ())),
+                        preferred_element_type=accum,
+                    )
+                    y = z if y is None else y + z
+        return y.astype(xp.dtype)
+
+    if n_in == 1:
+        timed("XLA tap-stacked dots (f32 acc)",
+              lambda ts: conv3_tapdot(ts[0], wp, jnp.float32))
+        timed("XLA tap-stacked dots (bf16 acc)",
+              lambda ts: conv3_tapdot(ts[0], wp, jnp.bfloat16))
+    for split in args.acc_split:
         timed(
-            f"stripe block_h={args.block_h}",
-            lambda ts: conv3_packed_stripe(ts, wp, bp, leaky=True, block_h=args.block_h),
+            f"stripe acc_split={split}",
+            lambda ts, s=split: conv3_packed_stripe(
+                ts, wp, bp, leaky=True, acc_split=s, block_h=args.block_h
+            ),
         )
 
 

@@ -62,6 +62,9 @@ def parse_args():
     p.add_argument("--random-params", action="store_true")
     p.add_argument("--mid-chan", type=int, default=64)
     p.add_argument("--kmax", type=float, default=0.5, help="metric cut [h/Mpc]")
+    p.add_argument("--mesh", type=int, nargs=3, default=None,
+                   help="compute metrics on-mesh with the sharded estimators "
+                        "(pod validation: fields stay sharded, no gather)")
     p.add_argument("--out-dir", type=str, default="runs/quijote")
     p.add_argument("--plots", action=argparse.BooleanOptionalAction, default=True)
     return p.parse_args()
@@ -130,9 +133,22 @@ def main():
         raise ValueError(f"target shape {target.shape} != emulated {delta_emu.shape}")
 
     # ---- metrics ----------------------------------------------------------
+    if args.mesh and int(np.prod(args.mesh)) > 1:
+        from jax_nbody_emulator_with_dj_tpu.parallel import make_mesh
+        from jax_nbody_emulator_with_dj_tpu.science import summary_metrics_sharded
+
+        mesh = make_mesh(tuple(args.mesh))
+
+        def metric_fn(a, b):
+            return summary_metrics_sharded(a, b, mesh, args.boxsize, kmax=args.kmax)
+    else:
+
+        def metric_fn(a, b):
+            return summary_metrics(a, b, args.boxsize, kmax=args.kmax)
+
     metrics = {
-        "emulator_vs_target": summary_metrics(delta_emu, target, args.boxsize, kmax=args.kmax),
-        "lpt_vs_target": summary_metrics(delta_lpt, target, args.boxsize, kmax=args.kmax),
+        "emulator_vs_target": metric_fn(delta_emu, target),
+        "lpt_vs_target": metric_fn(delta_lpt, target),
     }
     meta = dict(result.metadata)
     meta["metrics"] = metrics

@@ -87,10 +87,28 @@ class TestShardedPowerSpectrum:
 
     def test_geometry_validation(self):
         mesh = make_mesh((2, 2, 2))
-        bad = np.zeros((12, 12, 12), np.float32)  # 12/2=6 % 2 == 0 ok; use 10
-        bad = np.zeros((10, 10, 10), np.float32)
+        bad = np.zeros((10, 10, 10), np.float32)  # N/mx % my != 0
         with pytest.raises(ValueError):
             power_spectrum_sharded(bad, mesh, BOX)
+
+    def test_summary_metrics_match(self, fields):
+        """The on-mesh scalar metric dict must match the host version."""
+        from jax_nbody_emulator_with_dj_tpu.science.powerspec import (
+            summary_metrics,
+        )
+        from jax_nbody_emulator_with_dj_tpu.science.powerspec_sharded import (
+            summary_metrics_sharded,
+        )
+
+        a, b = fields
+        mesh = make_mesh((2, 2, 2))
+        ref = summary_metrics(a, b, BOX, kmax=0.5)
+        got = summary_metrics_sharded(a, b, mesh, BOX, kmax=0.5)
+        assert set(got) == set(ref)
+        for key in ref:
+            assert abs(got[key] - ref[key]) <= 2e-3 * max(1.0, abs(ref[key])), (
+                key, got[key], ref[key],
+            )
 
     def test_plane_wave_peak(self):
         """A single plane wave must land all power in its |k| shell."""
