@@ -58,9 +58,27 @@ def main():
                    help="hierarchical phase-1 H split (default: size/2 for vel)")
     p.add_argument("--profile", action="store_true",
                    help="sync between hierarchical phases and print per-phase times")
+    p.add_argument("--donate-input", action="store_true",
+                   help="regenerate the input box on device before each run and "
+                        "donate it into process_box — frees ~1 GB during the "
+                        "phases, affording the widest phase-3 tiles")
     args = p.parse_args()
 
     import jax
+
+    # Persistent compile cache: geometry sweeps re-run this script many
+    # times; unchanged phase programs then reload instead of recompiling
+    # (each full-pipeline compile is minutes on the tunneled backend).
+    try:
+        from pathlib import Path
+
+        cache = Path("~/.cache/jax_nbody_bench").expanduser()
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     from jax_nbody_emulator_with_dj_tpu import (
         NBodyEmulatorCore,
@@ -132,31 +150,54 @@ def main():
         )
         proc = SubboxProcessor(model, params, cfg)
 
-    # Stage the input on device once: emulation consumes on-device fields in
+    from jax_nbody_emulator_with_dj_tpu.utils.timing import force_sync
+
+    # Stage the input on device: emulation consumes on-device fields in
     # production (the IC/LPT pipeline runs on the same chip), and the tunneled
     # test environment's H2D path is slow enough to dominate otherwise.
-    box_host = np.random.default_rng(1).normal(size=(3,) + size).astype(np.float32)
-    box = jax.device_put(jnp.asarray(box_host.astype(jnp.dtype(args.dtype))))
-    del box_host
+    donate = bool(args.donate_input and use_hier)
+    if donate:
+        # Donating mode consumes the input each run; regenerate it on device
+        # (outside the timed region) instead of re-uploading through the
+        # tunnel.
+        gen = jax.jit(
+            lambda k: jax.random.normal(k, (3,) + size, jnp.dtype(args.dtype))
+        )
 
-    from jax_nbody_emulator_with_dj_tpu.utils.timing import force_sync
+        def make_box(i):
+            b = gen(jax.random.key(i))
+            force_sync(b)
+            return b
+    else:
+        box_host = np.random.default_rng(1).normal(size=(3,) + size).astype(np.float32)
+        box = jax.device_put(jnp.asarray(box_host.astype(jnp.dtype(args.dtype))))
+        del box_host
+
+        def make_box(i):
+            return box
+
+    kw = {"profile": True} if (args.profile and use_hier) else {}
+    if donate:
+        kw["donate_input"] = True
 
     # Warmup / compile (excluded, as in the reference's published numbers).
     # NB: block_until_ready is a no-op on some remote backends; force_sync
     # reads back one element per output, a true completion barrier.
-    out = proc.process_box(box, z=0.0, Om=0.3175, as_numpy=False)
+    out = proc.process_box(make_box(0), z=0.0, Om=0.3175, as_numpy=False,
+                           **({"donate_input": True} if donate else {}))
     force_sync(out)
 
-    kw = {"profile": True} if (args.profile and use_hier) else {}
     times = []
-    for _ in range(args.runs):
+    for r in range(args.runs):
         out = None  # free the previous outputs — two full 512^3 output
         # sets alive at once would crowd the 16 GB chip in vel mode
+        b = make_box(r + 1)
         t0 = time.perf_counter()
-        out = proc.process_box(box, z=0.0, Om=0.3175, as_numpy=False, **kw)
+        out = proc.process_box(b, z=0.0, Om=0.3175, as_numpy=False, **kw)
         force_sync(out)
         times.append(time.perf_counter() - t0)
-        if kw:
+        del b
+        if args.profile and use_hier:
             import sys
             print({k: round(v, 3) for k, v in proc.last_timings.items()},
                   file=sys.stderr)

@@ -202,13 +202,21 @@ class HierarchicalProcessor:
         # Input scale+wrap-pad, jitted ONCE here: a fresh jit(lambda) per
         # process_box call retraces and recompiles every box (~3 s at 512^3).
         dtype = config.dtype
-        self._scale = jax.jit(
-            lambda b, dz: _wrap_pad(
+
+        def _scale_fn(b, dz):
+            return _wrap_pad(
                 b[None] * (dz.astype(dtype) / jnp.asarray(6.0, dtype)),
                 8,
                 axes=(2, 3, 4),
             )
-        )
+
+        self._scale = jax.jit(_scale_fn)
+        # Donating variant: frees the caller's input buffer once the padded
+        # copy exists (~1 GB at 512^3) — the margin that lets the widest
+        # phase-3 tiles fit a 16 GB chip.  Callers opt in via
+        # ``process_box(..., donate_input=True)`` and must not reuse the
+        # array afterwards.
+        self._scale_donate = jax.jit(_scale_fn, donate_argnums=(0,))
 
     def _fold_exec(self, params, z, Om):
         """Style params -> premodulated (packed) exec params at one (z, Om)."""
@@ -704,12 +712,16 @@ class HierarchicalProcessor:
         Om: float,
         as_numpy: bool = True,
         profile: bool = False,
+        donate_input: bool = False,
     ):
         """Emulate a full periodic box.
 
         With ``profile=True`` a completion barrier runs after each phase and
         per-stage wall times land in ``self.last_timings`` (adds barrier
-        latency; leave False in production).
+        latency; leave False in production).  ``donate_input=True`` consumes
+        a device-resident input array (its buffer is freed after the scaled
+        padded copy is built — do not reuse it); memory-tight geometries
+        need the ~1 GB this returns to the pool.
         """
         import time as _time
 
@@ -743,7 +755,9 @@ class HierarchicalProcessor:
         if isinstance(input_box, np.ndarray):
             input_box = input_box.astype(jnp.dtype(cfg.dtype))
         exec_params = self._exec_params_for(z, Om)
-        boxp = self._scale(jnp.asarray(input_box, cfg.dtype), Dz)
+        scale = self._scale_donate if donate_input else self._scale
+        boxp = scale(jnp.asarray(input_box, cfg.dtype), Dz)
+        del input_box
         _stamp("scale", boxp)
 
         # ---- Phase 1: build the (phase-2-padded) level-1 volume -----------
