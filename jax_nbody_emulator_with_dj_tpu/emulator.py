@@ -128,7 +128,7 @@ def _is_first_layer(block_name: str, layer_name: str) -> bool:
     return block_name == "conv_l00" and layer_name in ("conv_0", "skip")
 
 
-def _modulate_tree(params: dict, s, *, vel: bool, eps: float) -> dict:
+def _modulate_tree(params: dict, s, *, vel: bool, eps: float, factors: bool = False) -> dict:
     out = {"params": {}}
     for block_name, block in params["params"].items():
         out["params"][block_name] = {}
@@ -140,6 +140,7 @@ def _modulate_tree(params: dict, s, *, vel: bool, eps: float) -> dict:
                     vel=vel,
                     first_layer=vel and _is_first_layer(block_name, layer_name),
                     eps=eps,
+                    factors=factors and vel,
                 )
             else:
                 out["params"][block_name][layer_name] = layer

@@ -224,8 +224,11 @@ class HierarchicalProcessor:
 
         Dz = growth_factor(z, Om)
         s = style_vector(Om, Dz)[0]
+        # factors=True: the fold also emits the tangent kernel's exact rank
+        # factors (g, c), which the packed vel layers use to run the tangent
+        # as ONE conv sharing the primal kernel (see pack_conv_layer_params).
         folded = _modulate_tree(
-            params, s, vel=self.compute_vel, eps=self.model.eps
+            params, s, vel=self.compute_vel, eps=self.model.eps, factors=True
         )
         if self.config.packed:
             return {"params": self._pack_params(folded["params"])}

@@ -329,27 +329,51 @@ _PACKED_OPS = {
 
 
 def pack_conv_layer_params(p, kind, *, groups: int = 1, vel: bool = False):
-    """Pre-pack one premodulated conv layer's params for packed execution."""
+    """Pre-pack one premodulated conv layer's params for packed execution.
+
+    Velocity layers prefer the FACTORED tangent: when ``dweight`` has the
+    style-derived rank structure ``dW = W⊙g_in − W⊙c_out`` (exact factors
+    provided by the style fold, or recovered numerically from a concrete
+    premodulated tree), the tangent runs as ONE conv sharing the primal
+    kernel — ``dy = op(x⊙g + dx, W) − c⊙op(x, W)`` — instead of the two
+    convs ``op(x, dW) + op(dx, W)``: a 3→2 conv cut on every velocity
+    layer.  Trees with a genuinely learned ``dweight`` (no rank structure;
+    map2map plain-vel training) keep the materialized-tangent path.
+    """
     packer = _PACKERS[kind]
     out = {
         "w": packer(p["weight"], groups),
         "b": s2d.pack_bias(p["bias"].astype(jnp.float32)),
     }
-    if vel:
-        # dy = op(concat([x, dx]), concat([dW, W])): the packed input is the
-        # channel-concat of two packed tensors, so the concat weight packs
-        # with twice the groups.
-        wcat = jnp.concatenate([p["dweight"], p["weight"]], axis=-2)
-        out["wcat"] = packer(wcat, 2 * groups)
-        if kind != "up" and out["w"].shape[-1] < 128:
-            # Narrow outputs (the model's 64->3 tail) pad the MXU's 128-wide
-            # N for EVERY conv; stacking the primal and x-tangent kernels
-            # along Cols halves that waste: one conv yields y and the
-            # conv(x, dW) tangent part together.  ('up' is excluded: its
-            # packed Cols encode the (r,s,a,p) reshuffle and cannot be
-            # concatenated.)  At Cols >= 128 the split form measures equal
-            # or better, so stacking is narrow-only.
-            out["wst"] = jnp.concatenate([out["w"], packer(p["dweight"], groups)], -1)
+    if not vel:
+        return out
+    fac = None
+    if "dfac_in" in p:
+        fac = (p["dfac_in"], p["dfac_out"])
+    elif not isinstance(p["weight"], jax.core.Tracer):
+        from ..ops.style import recover_dweight_factors
+
+        g, c, ok = recover_dweight_factors(p["weight"], p["dweight"])
+        if ok:
+            fac = (jnp.asarray(g, jnp.float32), jnp.asarray(c, jnp.float32))
+    if fac is not None:
+        out["g"] = jnp.asarray(fac[0], jnp.float32)  # unpacked (Ci,)
+        out["c"] = s2d.pack_bias(jnp.asarray(fac[1], jnp.float32))  # (2Co,)
+        return out
+    # dy = op(concat([x, dx]), concat([dW, W])): the packed input is the
+    # channel-concat of two packed tensors, so the concat weight packs
+    # with twice the groups.
+    wcat = jnp.concatenate([p["dweight"], p["weight"]], axis=-2)
+    out["wcat"] = packer(wcat, 2 * groups)
+    if kind != "up" and out["w"].shape[-1] < 128:
+        # Narrow outputs (the model's 64->3 tail) pad the MXU's 128-wide
+        # N for EVERY conv; stacking the primal and x-tangent kernels
+        # along Cols halves that waste: one conv yields y and the
+        # conv(x, dW) tangent part together.  ('up' is excluded: its
+        # packed Cols encode the (r,s,a,p) reshuffle and cannot be
+        # concatenated.)  At Cols >= 128 the split form measures equal
+        # or better, so stacking is narrow-only.
+        out["wst"] = jnp.concatenate([out["w"], packer(p["dweight"], groups)], -1)
     return out
 
 
@@ -397,6 +421,15 @@ def _cat_weight_parts(w, kind, n):
 def _apply_packed_vel(pp, xp, dxp, kind):
     op = _PACKED_OPS[kind]
     out_dtype = xp.dtype
+    if "g" in pp:
+        # Factored tangent (style-derived dweight): ONE tangent conv sharing
+        # the primal kernel — dy = op(x⊙g + dx, W) − c⊙op(x, W).
+        z = op(xp, pp["w"])
+        g = jnp.tile(pp["g"], 2).astype(xp.dtype)  # packed rows [q0|q1]
+        zt = op(xp * g + dxp, pp["w"])
+        y = z + pp["b"].astype(xp.dtype)
+        dy = zt - pp["c"].astype(z.dtype) * z
+        return y.astype(out_dtype), dy.astype(out_dtype)
     wdw, ww = _cat_weight_parts(pp["wcat"], kind, 2)
     if "wst" in pp:
         # Narrow-output layers run the primal and x-tangent convs as one
@@ -434,10 +467,24 @@ def _apply_packed_cat(pp, xs, kind):
 
 
 def _apply_packed_vel_cat(pp, xs, dxs, kind):
-    """Vel form of ``_apply_packed_cat``: the fused tangent conv's operand
-    is cat(xs..., dxs...), split the same way (wcat has 2x the groups)."""
+    """Vel form of ``_apply_packed_cat``: per input part either one factored
+    tangent conv (style-derived dweight, primal kernel shared) or the
+    split-parts tangent pair (materialized ``dW``; wcat has 2x the groups)."""
     op = _PACKED_OPS[kind]
     out_dtype = xs[0].dtype
+    if "g" in pp:
+        parts_w = _cat_weight_parts(pp["w"], kind, len(xs))
+        cg = pp["g"].shape[0] // len(xs)
+        z = zt = None
+        for i, (x, dx, wi) in enumerate(zip(xs, dxs, parts_w)):
+            gi = jnp.tile(pp["g"][i * cg : (i + 1) * cg], 2).astype(x.dtype)
+            zi = op(x, wi)
+            zti = op(x * gi + dx, wi)
+            z = zi if z is None else z + zi
+            zt = zti if zt is None else zt + zti
+        y = z + pp["b"].astype(z.dtype)
+        dy = zt - pp["c"].astype(z.dtype) * z
+        return y.astype(out_dtype), dy.astype(out_dtype)
     y = _apply_packed_cat(pp, xs, kind)
     parts = list(xs) + list(dxs)
     parts_w = _cat_weight_parts(pp["wcat"], kind, len(parts))

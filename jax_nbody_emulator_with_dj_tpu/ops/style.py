@@ -25,6 +25,8 @@ velocity-path analytic tangent ``dweight`` and the first-layer ``w/Dz`` rule.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 
@@ -79,7 +81,15 @@ def modulated_style_weight(layer_params, s, eps: float = 1e-8):
     return w_mod / norm[:, None, None, None, None, :]
 
 
-def premodulate_layer(layer_params, s, *, vel: bool = False, first_layer: bool = False, eps: float = 1e-8):
+def premodulate_layer(
+    layer_params,
+    s,
+    *,
+    vel: bool = False,
+    first_layer: bool = False,
+    eps: float = 1e-8,
+    factors: bool = False,
+):
     """Fold style into a fixed-cosmology weight (and tangent) for one layer.
 
     Produces the premodulated parameter dict for one conv layer at fixed
@@ -120,4 +130,74 @@ def premodulate_layer(layer_params, s, *, vel: bool = False, first_layer: bool =
         Dz = s[0, 1] + 1.0
         dw = dw + w_norm / Dz
     out["dweight"] = dw
+    if factors:
+        # Rank structure of the analytic tangent kernel:
+        #     dW = W_norm ⊙ g_in − W_norm ⊙ c_out,
+        # with g = dm/m (+ 1/Dz for first layers) and c = −norm·dnorm.
+        # The tangent conv then collapses into the PRIMAL kernel:
+        #     conv(x, dW) + conv(dx, W_norm)
+        #       == conv(x ⊙ g + dx, W_norm) − c ⊙ conv(x, W_norm)
+        # — one conv instead of two, sharing the primal conv's output.
+        # ``m`` is kept away from 0 with a smooth Tikhonov guard (the true
+        # per-channel tangent term w·dm/n is finite as m→0, but its factored
+        # form g·ŵ is 0·∞ there; |m| is O(0.1..3) for any physical style, so
+        # the guard never bites in practice).
+        m_safe = m * m + jnp.asarray(1e-16, m.dtype)
+        g = dm * m / m_safe
+        if first_layer:
+            g = g + 1.0 / (s[0, 1] + 1.0)
+        c = norm * (-dnorm)
+        # Gauge fixing: (g, c) -> (g - t, c - t) leaves dW invariant (the
+        # shift contributes t·conv(x, W) to both terms of the factored
+        # tangent).  Centering c at 0 minimizes the c⊙z term, which
+        # otherwise amplifies low-precision rounding through the
+        # zt − c⊙z cancellation at extreme cosmologies (|c| reaches ~16
+        # at z=2, Om=0.2 uncentered; ≤0.6 centered).
+        t = jnp.mean(c)
+        out["dfac_in"] = g - t
+        out["dfac_out"] = c - t
     return out
+
+
+def recover_dweight_factors(weight, dweight, *, rel_tol: float = 1e-4):
+    """Recover the rank structure ``dW = W⊙g_in − W⊙c_out`` from arrays.
+
+    Premodulated velocity trees carry a materialized ``dweight``; when it was
+    derived from a style checkpoint (the reference's own premodulation,
+    ``/root/reference/src/jax_nbody_emulator/nbody_emulator.py:221-266``, and
+    this package's fold) it has exact rank structure in (g, c).  This solves
+    the weighted least-squares problem
+
+        min Σ_{k,i,o} ( W[k,i,o]·(g_i − c_o) − dW[k,i,o] )²
+
+    (normal equations over the (Ci+Co)-dim gauge-degenerate system, least-norm
+    solution) and accepts iff the residual is at rounding level.  A genuinely
+    *learned* ``dweight`` (map2map plain-vel training) has no such structure:
+    the residual check fails and callers keep the materialized-tangent path.
+
+    Returns ``(g, c, ok)`` with float64 numpy ``g (Ci,)``, ``c (Co,)``.
+    """
+    w = np.asarray(weight, np.float64)
+    dw = np.asarray(dweight, np.float64)
+    ci, co = w.shape[-2], w.shape[-1]
+    wk = w.reshape(-1, ci, co)
+    dwk = dw.reshape(-1, ci, co)
+    p = (wk * wk).sum(0)  # (Ci, Co)
+    q = (wk * dwk).sum(0)  # (Ci, Co)
+    mat = np.zeros((ci + co, ci + co))
+    mat[:ci, :ci] = np.diag(p.sum(1))
+    mat[:ci, ci:] = -p
+    mat[ci:, :ci] = p.T
+    mat[ci:, ci:] = -np.diag(p.sum(0))
+    rhs = np.concatenate([q.sum(1), q.sum(0)])
+    sol, *_ = np.linalg.lstsq(mat, rhs, rcond=None)
+    g, c = sol[:ci], sol[ci:]
+    # Gauge: center c at 0 (see ``premodulate_layer``) — minimizes the
+    # c⊙z term's low-precision cancellation in the factored tangent.
+    t = c.mean()
+    g, c = g - t, c - t
+    resid = wk * (g[None, :, None] - c[None, None, :]) - dwk
+    ok = bool(
+        np.abs(resid).max() <= rel_tol * (np.abs(dwk).max() + 1e-300)
+    )
+    return g, c, ok

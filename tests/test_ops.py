@@ -248,3 +248,94 @@ class TestEntryExitPacked:
         y, dy = apply_resnet_entry_vel_packed(pp, x)
         np.testing.assert_allclose(s2d.unpack(y), ref, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(s2d.unpack(dy), dref, rtol=1e-5, atol=1e-5)
+
+
+class TestDweightFactors:
+    """Rank structure of the style-derived tangent kernel (factored vel path).
+
+    ``premodulate_layer``'s analytic tangent satisfies
+    ``dW = W⊙g_in − W⊙c_out`` exactly; the packed velocity layers exploit it
+    to run the tangent as ONE conv sharing the primal kernel
+    (``models/blocks.py::_apply_packed_vel``).  Reference semantics being
+    factored: ``/root/reference/src/jax_nbody_emulator/nbody_emulator.py:221-266``.
+    """
+
+    @pytest.fixture(scope="class")
+    def layer(self):
+        return init_conv_layer(jax.random.key(3), 6, 4, "conv", style=True, vel=False)
+
+    def test_exact_factors_reproduce_dweight(self, layer):
+        s = style_vector(0.28, 0.9)[0]
+        folded = premodulate_layer(layer, s, vel=True, factors=True)
+        w = np.asarray(folded["weight"], np.float64)
+        dw = np.asarray(folded["dweight"], np.float64)
+        g = np.asarray(folded["dfac_in"], np.float64)
+        c = np.asarray(folded["dfac_out"], np.float64)
+        np.testing.assert_allclose(
+            w * (g[:, None] - c[None, :]), dw, rtol=0, atol=2e-6 * np.abs(dw).max()
+        )
+        # gauge: c centered at 0 (minimizes the c*z cancellation term)
+        assert abs(c.mean()) < 1e-6 * (np.abs(c).max() + 1e-30)
+
+    def test_first_layer_factor(self, layer):
+        Dz = 0.8
+        s = style_vector(0.3175, Dz)[0]
+        plain = premodulate_layer(layer, s, vel=True, factors=True)
+        first = premodulate_layer(layer, s, vel=True, first_layer=True, factors=True)
+        # first-layer rule adds w/Dz == +1/Dz on g (mod the shared gauge shift)
+        dg = np.asarray(first["dfac_in"]) - np.asarray(plain["dfac_in"])
+        dc = np.asarray(first["dfac_out"]) - np.asarray(plain["dfac_out"])
+        np.testing.assert_allclose(dg - dc.mean(), 1.0 / Dz, rtol=1e-5)
+
+    def test_recovery_roundtrip(self, layer):
+        from jax_nbody_emulator_with_dj_tpu.ops.style import recover_dweight_factors
+
+        s = style_vector(0.35, 1.3)[0]
+        folded = premodulate_layer(layer, s, vel=True)
+        g, c, ok = recover_dweight_factors(folded["weight"], folded["dweight"])
+        assert ok
+        w = np.asarray(folded["weight"], np.float64)
+        dw = np.asarray(folded["dweight"], np.float64)
+        np.testing.assert_allclose(
+            w * (g[:, None] - c[None, :]), dw, rtol=0, atol=1e-5 * np.abs(dw).max()
+        )
+
+    def test_recovery_rejects_learned_dweight(self, layer):
+        from jax_nbody_emulator_with_dj_tpu.ops.style import recover_dweight_factors
+
+        s = style_vector(0.35, 1.3)[0]
+        folded = premodulate_layer(layer, s, vel=True)
+        rng = np.random.default_rng(0)
+        fake = rng.normal(size=np.asarray(folded["dweight"]).shape).astype(np.float32)
+        _, _, ok = recover_dweight_factors(folded["weight"], fake)
+        assert not ok
+
+    @pytest.mark.parametrize("kind", ["conv", "skip", "down", "up"])
+    def test_factored_apply_matches_materialized(self, layer, kind):
+        from jax_nbody_emulator_with_dj_tpu.models.blocks import (
+            _apply_packed_vel,
+            pack_conv_layer_params,
+        )
+        import jax_nbody_emulator_with_dj_tpu.ops.style as style_mod
+
+        lyr = init_conv_layer(jax.random.key(5), 8, 8, kind, style=True, vel=False)
+        s = style_vector(0.3, 1.1)[0]
+        folded = premodulate_layer(lyr, s, vel=True)
+        ppf = pack_conv_layer_params(folded, kind, vel=True)
+        assert "g" in ppf, "recovery should enable the factored path"
+        orig = style_mod.recover_dweight_factors
+        style_mod.recover_dweight_factors = lambda *a, **k: (None, None, False)
+        try:
+            ppw = pack_conv_layer_params(folded, kind, vel=True)
+        finally:
+            style_mod.recover_dweight_factors = orig
+        assert "wcat" in ppw
+        x = _rand((1, 8, 8, 4, 16), jax.random.key(6))
+        dx = _rand((1, 8, 8, 4, 16), jax.random.key(7))
+        yf, dyf = _apply_packed_vel(ppf, x, dx, kind)
+        yw, dyw = _apply_packed_vel(ppw, x, dx, kind)
+        np.testing.assert_allclose(np.asarray(yf), np.asarray(yw), rtol=1e-5, atol=1e-6)
+        scale = np.abs(np.asarray(dyw)).max()
+        np.testing.assert_allclose(
+            np.asarray(dyf) / scale, np.asarray(dyw) / scale, rtol=1e-3, atol=2e-5
+        )
