@@ -58,10 +58,13 @@ def main():
                    help="hierarchical phase-1 H split (default: size/2 for vel)")
     p.add_argument("--profile", action="store_true",
                    help="sync between hierarchical phases and print per-phase times")
-    p.add_argument("--donate-input", action="store_true",
+    p.add_argument("--donate-input", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="regenerate the input box on device before each run and "
                         "donate it into process_box — frees ~1 GB during the "
-                        "phases, affording the widest phase-3 tiles")
+                        "phases, affording the widest phase-3 tiles (production "
+                        "pipelines consume device-resident LPT fields the same "
+                        "way)")
     args = p.parse_args()
 
     import jax
@@ -123,12 +126,17 @@ def main():
         if args.tile:
             tile = tuple(args.tile)
         elif compute_vel:
-            tile = (min(64, t), t, t) if f32 else (t, t, t)
+            # bf16 vel: the factored tangent freed enough HBM for a
+            # (128, 128, 256) phase-3 tile (measured best; (128, 256, 256)
+            # still OOMs) and a 64-deep phase-1 slab.
+            tile = (min(64, t), t, t) if f32 else (t, t, min(2 * t, args.size))
         else:
             t2 = min(2 * t, args.size)
             tile = (t, t, t2) if f32 else (t, t2, t2)
         tile1 = args.tile1 if args.tile1 else min(64 if compute_vel else 128, args.size // 2)
-        slab = args.slab or min(16 if (f32 and compute_vel) else 32, args.size)
+        slab = args.slab or min(
+            16 if (f32 and compute_vel) else (64 if compute_vel else 32), args.size
+        )
         hcfg = HierarchicalConfig(
             size=size,
             slab=slab,

@@ -180,35 +180,44 @@ def conv3_entry_packed(x, wf, *, accum_dtype=None):
 
 
 def entry_cols(wf):
-    """(3, 3, Ci, 4, Cols) tap-major entry fold -> (Ci, 4, 9, Cols) im2col rhs.
+    """(3, 3, Ci, 4, Cols) tap-major entry fold -> (4*Ci*9, Cols) im2col rhs.
 
-    Tap index kd*3+kh matches ``conv3_entry_im2col``'s lhs stack order.
-    Cols may be 2Co (primal) or 4Co (primal|tangent stacked).
+    K-minor row order k = ((a*2 + q)*Ci + c)*9 + (kd*3 + kh), matching
+    ``conv3_entry_im2col``'s lhs build: channels-last cell merge (q, c),
+    cell-pair concat (a), then tap stack (kd, kh) minor-most.  Cols may be
+    2Co (primal) or 4Co (primal|tangent stacked).
     """
     k1, k2, ci, four, cols = wf.shape
-    return wf.transpose(2, 3, 0, 1, 4).reshape(ci, four, k1 * k2, cols)
+    w6 = wf.reshape(k1, k2, ci, 2, 2, cols)  # [kd, kh, c, a, q, cols]
+    return w6.transpose(3, 4, 2, 0, 1, 5).reshape(four * ci * k1 * k2, cols)
 
 
 def conv3_entry_im2col(x, wf9, *, accum_dtype=None):
-    """VALID 3x3x3 entry conv as ONE K=Ci*4*9 dot (im2col over cell pairs).
+    """VALID 3x3x3 entry conv as ONE K=4*Ci*9 dot (im2col over cell pairs).
 
     (B, C, D, H, W) NCDHW -> (B, D-2, H-2, (W-2)/2, Cols).  The stacked
     nine-tap operand costs a window-sized x9 transient (~300 MB at 144^3
     tiles, ~550 MB at H-split 512-wide slabs) but replaces nine accumulated
-    K=12 dots with one K=108 dot: measured 2.9x faster on a v5e, and in
-    vel mode the primal and tangent kernels stack along Cols so the
-    operand is built once for both.
+    K=12 dots with one K=108 dot; in vel mode the primal and tangent
+    kernels stack along Cols so the operand is built once for both.  The
+    contraction axis is built CONTIGUOUS-MINOR ((B, D', H', U, 108) after
+    one input transpose), which is the dot's native operand layout —
+    measured 2.2x over the scattered-K form ((B, C, D', H', U, 4, 9),
+    whose relayout dominated the entry stage) and 6.3x over per-tap
+    accumulated K=12 dots, on a v5e at (144, 144, 272) tiles.
     """
     b, c, d, h, w_ = x.shape
-    xc = x.reshape(b, c, d, h, w_ // 2, 2)
-    xp = jnp.concatenate([xc[..., :-1, :], xc[..., 1:, :]], -1)
+    xt = x.transpose(0, 2, 3, 4, 1)  # (B, D, H, W, C)
+    xc = xt.reshape(b, d, h, w_ // 2, 2 * c)  # cell merge, (q, c) minor
+    xp = jnp.concatenate([xc[..., :-1, :], xc[..., 1:, :]], -1)  # (.., U, 4C)
     dd, hh = d - 2, h - 2
     lhs = jnp.stack(
-        [xp[:, :, kd:kd + dd, kh:kh + hh] for kd in range(3) for kh in range(3)],
+        [xp[:, kd:kd + dd, kh:kh + hh] for kd in range(3) for kh in range(3)],
         axis=-1,
-    )  # (B, C, D', H', U, 4, 9)
+    )  # (B, D', H', U, 4C, 9)
+    lhs = lhs.reshape(b, dd, hh, lhs.shape[3], 4 * c * 9)
     return jax.lax.dot_general(
-        lhs, wf9.astype(x.dtype), (((1, 5, 6), (0, 1, 2)), ((), ())),
+        lhs, wf9.astype(x.dtype), (((4,), (0,)), ((), ())),
         preferred_element_type=accum_dtype or x.dtype,
     )
 
