@@ -264,7 +264,16 @@ def _dot(x, w2, out_dtype):
 
 
 def conv3_packed(xp, wp, *, accum_dtype=None):
-    """VALID 3x3x3 conv on packed tensors (wp from ``pack_w3``)."""
+    """VALID 3x3x3 conv on packed tensors (wp from ``pack_w3``).
+
+    Narrow-output note (the model's 64->3 tail): a tap-stacked-N
+    reformulation — one unshifted (M, K) x (K, 18*Cols) dot plus 18
+    shifted Cols-wide adds — measured SLOWER on a v5e (20.8 vs 17.9 ms at
+    the vel tile, 36.1 vs 30.4 at the disp tile): the narrow adds have a
+    6-lane minor dim, so each pads to the 128-lane vreg width and the 18
+    passes cost more than the MXU N-padding they remove.  XLA's emitter
+    already handles small-N convs acceptably; keep the plain conv.
+    """
     out = accum_dtype or xp.dtype
     return jax.lax.conv_general_dilated(
         xp, wp.astype(xp.dtype), (1, 1, 1), "VALID",

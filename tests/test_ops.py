@@ -197,6 +197,29 @@ class TestEntryExitPacked:
         yu = s2d.unpack(y)
         np.testing.assert_allclose(yu, ref, rtol=1e-5, atol=1e-5)
 
+    def test_conv3_entry_im2col_matches_per_tap(self):
+        from jax_nbody_emulator_with_dj_tpu.ops import s2d
+
+        x = jax.random.normal(jax.random.key(2), (1, 3, 10, 12, 16), jnp.float32)
+        w = jax.random.normal(jax.random.key(3), (3, 3, 3, 3, 5), jnp.float32)
+        wf = s2d.pack_w3_entry(w)
+        ref = s2d.conv3_entry_packed(x, wf)
+        got = s2d.conv3_entry_im2col(x, s2d.entry_cols(wf))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    def test_conv3_packed_narrow_output(self):
+        # The 64->3 tail's narrow-Cols packed conv must match the
+        # reference conv (tap-stacked reformulations were tried and
+        # rejected — see the conv3_packed docstring).
+        from jax_nbody_emulator_with_dj_tpu.ops import s2d
+
+        w = jax.random.normal(jax.random.key(4), (3, 3, 3, 16, 3), jnp.float32)
+        wp = s2d.pack_w3(w)
+        x = jax.random.normal(jax.random.key(5), (1, 8, 9, 6, 32), jnp.float32)
+        y = s2d.conv3_packed(x, wp)
+        ref = conv3d(s2d.unpack(x), w)
+        np.testing.assert_allclose(s2d.unpack(y), ref, rtol=1e-4, atol=1e-4)
+
     def test_conv1_entry_matches_matmul(self):
         from jax_nbody_emulator_with_dj_tpu.ops import s2d
 
