@@ -33,6 +33,8 @@ from .models.cores import (
     StyleNBodyEmulatorVelCore,
 )
 from .subbox import SubboxConfig, SubboxProcessor
+from .chunked import ChunkedHierarchicalConfig, ChunkedHierarchicalProcessor
+from .hierarchical import HierarchicalConfig, HierarchicalProcessor
 
 __version__ = "0.1.0"
 
@@ -43,9 +45,13 @@ __all__ = [
     "load_default_parameters",
     "modulate_emulator_parameters",
     "modulate_emulator_parameters_vel",
-    # Big-box runtime
+    # Big-box runtimes
     "SubboxConfig",
     "SubboxProcessor",
+    "HierarchicalConfig",
+    "HierarchicalProcessor",
+    "ChunkedHierarchicalConfig",
+    "ChunkedHierarchicalProcessor",
     # Cosmology
     "growth_factor",
     "hubble_rate",

@@ -1,0 +1,160 @@
+"""Chunked hierarchical runtime must reproduce the monolithic runtime exactly.
+
+The chunked decomposition pads each chunk by the full 48-voxel receptive
+margin and runs it as an independent periodic box; the kept center crop
+must match the monolithic hierarchical output bit-for-bit reordering-wise
+(same tolerance class as hierarchical-vs-subbox).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax_nbody_emulator_with_dj_tpu import (
+    ChunkedHierarchicalConfig,
+    ChunkedHierarchicalProcessor,
+    HierarchicalConfig,
+    HierarchicalProcessor,
+    NBodyEmulatorCore,
+    NBodyEmulatorVelCore,
+    StyleNBodyEmulatorVelCore,
+    modulate_emulator_parameters,
+    modulate_emulator_parameters_vel,
+)
+
+KEY = jax.random.key(23)
+MID = 4
+N = 32  # global box; chunks of 16 (packed alignment) padded to 112
+
+
+@pytest.fixture(scope="module")
+def style_params():
+    return StyleNBodyEmulatorVelCore(mid_chan=MID).init(KEY)
+
+
+@pytest.fixture(scope="module")
+def box():
+    return np.asarray(jax.random.normal(KEY, (3, N, N, N), jnp.float32))
+
+
+@pytest.fixture(scope="module")
+def mono_disp(style_params, box):
+    params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+    model = NBodyEmulatorCore(mid_chan=MID)
+    cfg = HierarchicalConfig(
+        size=(N,) * 3, slab=8, tile=(16, 16, 16),
+        dtype=jnp.float32, output_dtype=np.float32,
+    )
+    return HierarchicalProcessor(model, params, cfg).process_box(box, 0.5, 0.3175)
+
+
+@pytest.fixture(scope="module")
+def mono_vel(style_params, box):
+    params = modulate_emulator_parameters_vel(style_params, 0.5, 0.3175)
+    model = NBodyEmulatorVelCore(mid_chan=MID)
+    cfg = HierarchicalConfig(
+        size=(N,) * 3, slab=8, tile=(16, 16, 16),
+        dtype=jnp.float32, output_dtype=np.float32,
+    )
+    return HierarchicalProcessor(model, params, cfg).process_box(box, 0.5, 0.3175)
+
+
+class TestChunkedDisp:
+    def test_matches_monolithic(self, style_params, box, mono_disp):
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=MID)
+        cfg = ChunkedHierarchicalConfig(
+            size=(N,) * 3, chunks=(2, 1, 1),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        out = ChunkedHierarchicalProcessor(model, params, cfg).process_box(
+            box, 0.5, 0.3175
+        )
+        assert out.shape == (3, N, N, N)
+        np.testing.assert_allclose(out, mono_disp, rtol=2e-4, atol=2e-5)
+
+    def test_two_axis_chunks(self, style_params, box, mono_disp):
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=MID)
+        cfg = ChunkedHierarchicalConfig(
+            size=(N,) * 3, chunks=(2, 2, 1),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        out = ChunkedHierarchicalProcessor(model, params, cfg).process_box(
+            box, 0.5, 0.3175
+        )
+        np.testing.assert_allclose(out, mono_disp, rtol=2e-4, atol=2e-5)
+
+    def test_device_input_and_output(self, style_params, box, mono_disp):
+        """Device path: jitted periodic extraction + device scatter."""
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=MID)
+        cfg = ChunkedHierarchicalConfig(
+            size=(N,) * 3, chunks=(2, 1, 1),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        proc = ChunkedHierarchicalProcessor(model, params, cfg)
+        out = proc.process_box(jnp.asarray(box), 0.5, 0.3175, as_numpy=False)
+        assert isinstance(out, jax.Array)
+        np.testing.assert_allclose(np.asarray(out), mono_disp, rtol=2e-4, atol=2e-5)
+
+
+class TestChunkedVel:
+    def test_matches_monolithic(self, style_params, box, mono_vel):
+        params = modulate_emulator_parameters_vel(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorVelCore(mid_chan=MID)
+        cfg = ChunkedHierarchicalConfig(
+            size=(N,) * 3, chunks=(2, 1, 1),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        dis, vel = ChunkedHierarchicalProcessor(model, params, cfg).process_box(
+            box, 0.5, 0.3175
+        )
+        np.testing.assert_allclose(dis, mono_vel[0], rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(vel, mono_vel[1], rtol=2e-4, atol=3e-5)
+
+
+class TestChunkedStyle:
+    @pytest.mark.slow
+    def test_style_vel_matches_monolithic(self, style_params, box):
+        model = StyleNBodyEmulatorVelCore(mid_chan=MID)
+        hcfg = HierarchicalConfig(
+            size=(N,) * 3, slab=8, tile=(16, 16, 16),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        mono = HierarchicalProcessor(model, style_params, hcfg).process_box(
+            box, 0.5, 0.3175
+        )
+        cfg = ChunkedHierarchicalConfig(
+            size=(N,) * 3, chunks=(1, 2, 1),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        dis, vel = ChunkedHierarchicalProcessor(model, style_params, cfg).process_box(
+            box, 0.5, 0.3175
+        )
+        np.testing.assert_allclose(dis, mono[0], rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(vel, mono[1], rtol=2e-4, atol=3e-5)
+
+
+class TestChunkedConfig:
+    def test_rejects_small_pad(self):
+        with pytest.raises(ValueError, match="pad"):
+            ChunkedHierarchicalConfig(size=(64,) * 3, chunks=(2, 1, 1), pad=32)
+
+    def test_rejects_misaligned_chunks(self):
+        with pytest.raises(ValueError, match="multiple"):
+            ChunkedHierarchicalConfig(size=(24,) * 3, chunks=(3, 1, 1))
+
+    def test_unsplit_axes_not_padded(self):
+        cfg = ChunkedHierarchicalConfig(size=(32,) * 3, chunks=(2, 1, 1))
+        assert cfg.pads == (48, 0, 0)
+        assert cfg.inner_size == (112, 32, 32)
+
+    def test_shape_validation(self, style_params):
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=MID)
+        cfg = ChunkedHierarchicalConfig(size=(N,) * 3, chunks=(2, 1, 1))
+        proc = ChunkedHierarchicalProcessor(model, params, cfg)
+        with pytest.raises(ValueError, match="box shape"):
+            proc.process_box(np.zeros((3, 16, 16, 16), np.float32), 0.5, 0.3175)
