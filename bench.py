@@ -56,6 +56,12 @@ def main():
                    help="hierarchical phase-1 D-slab thickness")
     p.add_argument("--slab-h", type=int, default=None,
                    help="hierarchical phase-1 H split (default: size/2 for vel)")
+    p.add_argument("--chunks", type=int, nargs=3, default=None,
+                   help="run the chunked-hierarchical runtime with this "
+                        "decomposition (default: (2,2,1) automatically for "
+                        "f32 velocity, whose monolithic buffers need ~20 GB)")
+    p.add_argument("--pad", type=int, default=48,
+                   help="chunked-runtime receptive pad per split-axis side")
     p.add_argument("--profile", action="store_true",
                    help="sync between hierarchical phases and print per-phase times")
     p.add_argument("--donate-input", action=argparse.BooleanOptionalAction,
@@ -137,18 +143,43 @@ def main():
         slab = args.slab or min(
             16 if (f32 and compute_vel) else (64 if compute_vel else 32), args.size
         )
-        hcfg = HierarchicalConfig(
-            size=size,
-            slab=slab,
-            # vel: splitting H halves the slab working set, affording D-slab
-            # 32 (halo 1.25x) instead of 16 (1.5x) on a 16 GB chip
-            slab_h=args.slab_h or (args.size // 2 if compute_vel and args.size >= 256 else None),
-            tile=tile,
-            tile1=tile1,
-            dtype=jnp.dtype(args.dtype),
-            output_dtype=np.float16,
-        )
-        proc = HierarchicalProcessor(model, params, hcfg)
+        chunks = args.chunks
+        if chunks is None and f32 and compute_vel and args.size >= 512:
+            # f32 velocity: the monolithic level-1 buffer pairs need ~20 GB;
+            # the chunked runtime trades a (352/256)^2 pad recompute for
+            # fitting a 16 GB chip.
+            chunks = (2, 2, 1)
+        if chunks and any(c > 1 for c in chunks):
+            from jax_nbody_emulator_with_dj_tpu.chunked import (
+                ChunkedHierarchicalConfig,
+                ChunkedHierarchicalProcessor,
+            )
+
+            ccfg = ChunkedHierarchicalConfig(
+                size=size,
+                chunks=tuple(chunks),
+                pad=args.pad,
+                slab=args.slab,
+                slab_h=args.slab_h,
+                tile=tuple(args.tile) if args.tile else None,
+                tile1=args.tile1,
+                dtype=jnp.dtype(args.dtype),
+                output_dtype=np.float16,
+            )
+            proc = ChunkedHierarchicalProcessor(model, params, ccfg)
+        else:
+            hcfg = HierarchicalConfig(
+                size=size,
+                slab=slab,
+                # vel: splitting H halves the slab working set, affording
+                # D-slab 32 (halo 1.25x) instead of 16 (1.5x) on 16 GB
+                slab_h=args.slab_h or (args.size // 2 if compute_vel and args.size >= 256 else None),
+                tile=tile,
+                tile1=tile1,
+                dtype=jnp.dtype(args.dtype),
+                output_dtype=np.float16,
+            )
+            proc = HierarchicalProcessor(model, params, hcfg)
     else:
         cfg = SubboxConfig(
             size=size,
@@ -163,19 +194,29 @@ def main():
     # Stage the input on device: emulation consumes on-device fields in
     # production (the IC/LPT pipeline runs on the same chip), and the tunneled
     # test environment's H2D path is slow enough to dominate otherwise.
-    donate = bool(args.donate_input and use_hier)
-    if donate:
+    chunked = use_hier and chunks and any(c > 1 for c in chunks)
+    # The chunked runtime keeps the global box alive across chunks (each
+    # chunk is donated into its inner run instead).
+    donate = bool(args.donate_input and use_hier and not chunked)
+    if donate or chunked:
         # Donating mode consumes the input each run; regenerate it on device
         # (outside the timed region) instead of re-uploading through the
-        # tunnel.
+        # tunnel.  The chunked runtime reuses one device-resident box.
         gen = jax.jit(
             lambda k: jax.random.normal(k, (3,) + size, jnp.dtype(args.dtype))
         )
+        if chunked:
+            box0 = gen(jax.random.key(1))
+            force_sync(box0)
 
-        def make_box(i):
-            b = gen(jax.random.key(i))
-            force_sync(b)
-            return b
+            def make_box(i):
+                return box0
+        else:
+
+            def make_box(i):
+                b = gen(jax.random.key(i))
+                force_sync(b)
+                return b
     else:
         box_host = np.random.default_rng(1).normal(size=(3,) + size).astype(np.float32)
         box = jax.device_put(jnp.asarray(box_host.astype(jnp.dtype(args.dtype))))

@@ -10,10 +10,16 @@ runtime exploits the U-Net's structure to cut the overhead to ~1.3x:
     buffer.  Full-resolution features are never stored.
   Phase 2a (conv_l1, tiled at level 1): 2-voxel halo only — the level-1
     encoder block writes a padded y1 volume.
-  Phase 2b (mid stack + conv_r1, tiled at level 1): down_l1 through conv_r1
-    on y1 tiles with a parity-aligned 20-voxel margin; conv_r1's skip
-    operand is the window's own center crop, so no extra buffer is needed.
-    Only the mid stack (~10% of FLOPs) pays the margin recompute.
+  Phase 2b (down_l1 + conv_l2, tiled at level 1): 4-voxel halo windows of
+    y1 produce a padded *level-2* buffer y2 (conv_l2 outputs).  y2 is
+    1/8th the volume of y1, so carrying it is nearly free.
+  Phase 2c (down_l2 .. conv_r1, tiled at level 1): the mid stack runs on
+    8-voxel-margin windows of y2 (level-2 units); conv_r2's skip operand
+    is the window's own center crop, conv_r1's skip is a 4-halo slice of
+    y1 (still alive).  Splitting 2b/2c replaces the previous design's
+    20-voxel level-1 margin — which both inflated the y1 buffer by ~1.5x
+    and recomputed the whole mid stack at ~4x — with small per-stage
+    halos (the deepest, cheapest ops pay the largest relative margins).
   Phase 3 (tiled final decode): per output tile, y0 is recomputed from the
     input box (halo 8) and combined with an up_r0 slice of the phase-2
     buffer through conv_r00/conv_r01 (halo 4 [3 unpacked]) — small halos
@@ -198,6 +204,7 @@ class HierarchicalProcessor:
         self._phase1 = jax.jit(self._phase1_all, donate_argnums=(2,))
         self._phase2a = jax.jit(self._phase2a_all, donate_argnums=(2,))
         self._phase2b = jax.jit(self._phase2b_all, donate_argnums=(2,))
+        self._phase2c = jax.jit(self._phase2c_all, donate_argnums=(3,))
         self._phase3 = jax.jit(self._phase3_all, donate_argnums=(3,))
         # Input scale+wrap-pad, jitted ONCE here: a fresh jit(lambda) per
         # process_box call retraces and recompiles every box (~3 s at 512^3).
@@ -277,6 +284,10 @@ class HierarchicalProcessor:
         m = self.PHASE2B_MARGIN
         return (m, m, m // 2) if self.config.packed else (m, m, m)
 
+    def _y2_margin(self):
+        m = self.PHASE2C_MARGIN
+        return (m, m, m // 2) if self.config.packed else (m, m, m)
+
     def _r1_margin(self):
         if self.config.packed:
             m = self.PHASE3_R1_MARGIN_PACKED
@@ -284,17 +295,18 @@ class HierarchicalProcessor:
         m = self.PHASE3_R1_MARGIN
         return (m, m, m)
 
-    def _buf_shape(self, margin):
-        """Padded level-1 buffer shape (channels-last; packed carries 2C)."""
+    def _buf_shape(self, margin, level: int = 1):
+        """Padded level-``level`` buffer shape (channels-last; packed 2C)."""
         cfg = self.config
         mid = self.model.mid_chan
         nd, nh, nw = cfg.size
-        wdim = nw // 4 if cfg.packed else nw // 2
+        f = 2**level
+        wdim = nw // (2 * f) if cfg.packed else nw // f
         chan = 2 * mid if cfg.packed else mid
         return (
             1,
-            nd // 2 + 2 * margin[0],
-            nh // 2 + 2 * margin[1],
+            nd // f + 2 * margin[0],
+            nh // f + 2 * margin[1],
             wdim + 2 * margin[2],
             chan,
         )
@@ -369,12 +381,23 @@ class HierarchicalProcessor:
         m = self._y1_margin()
         return tuple(self._fill_margins(y, m) for y in y1)
 
-    def _phase2b_all(self, params, y1, r1_out):
+    def _phase2b_all(self, params, y1, y2_out):
+        cfg = self.config
+        anchors = self._tile_anchors([(s // 2, cfg.tile1) for s in cfg.size])
+
+        def body(i, y2):
+            return self._phase2b_step(params, y1, anchors[i], y2)
+
+        y2 = jax.lax.fori_loop(0, anchors.shape[0], body, y2_out)
+        m = self._y2_margin()
+        return tuple(self._fill_margins(y, m) for y in y2)
+
+    def _phase2c_all(self, params, y1, y2, r1_out):
         cfg = self.config
         anchors = self._tile_anchors([(s // 2, cfg.tile1) for s in cfg.size])
 
         def body(i, r1):
-            return self._phase2b_step(params, y1, anchors[i], r1)
+            return self._phase2c_step(params, y1, y2, anchors[i], r1)
 
         r1 = jax.lax.fori_loop(0, anchors.shape[0], body, r1_out)
         m = self._r1_margin()
@@ -455,9 +478,46 @@ class HierarchicalProcessor:
             for buf, o in zip(y1_out, outs)
         )
 
-    def _phase2b_step(self, params, y1, start, r1_out):
-        t, s5 = self._tile_window(y1, start, self.PHASE2B_MARGIN, self._r1_margin())
+    def _phase2b_step(self, params, y1, start, y2_out):
+        t, _ = self._tile_window(y1, start, self.PHASE2B_MARGIN, (0, 0, 0))
         out = self._phase2b_tile(params, t)
+        outs = out if self.compute_vel else (out,)
+        m = self._y2_margin()
+        wdiv = 4 if self.config.packed else 2
+        s5 = (
+            0,
+            m[0] + start[0] // 2,
+            m[1] + start[1] // 2,
+            m[2] + start[2] // wdiv,
+            0,
+        )
+        return tuple(
+            jax.lax.dynamic_update_slice(buf, o, s5)
+            for buf, o in zip(y2_out, outs)
+        )
+
+    def _phase2c_step(self, params, y1, y2, start, r1_out):
+        cfg = self.config
+        m1 = cfg.tile1
+        # y2 window: level-2 extent M/2 + 2*PHASE2C_MARGIN anchored at the
+        # plain level-2 anchor (the buffer carries exactly that margin).
+        mc = self.PHASE2C_MARGIN
+        if cfg.packed:
+            st2 = (0, start[0] // 2, start[1] // 2, start[2] // 4, 0)
+            sz2 = (m1 // 2 + 2 * mc, m1 // 2 + 2 * mc, (m1 // 2 + 2 * mc) // 2)
+        else:
+            st2 = (0, start[0] // 2, start[1] // 2, start[2] // 2, 0)
+            sz2 = (m1 // 2 + 2 * mc,) * 3
+        chan = y2[0].shape[-1]
+
+        def t2slice(b):
+            return jax.lax.dynamic_slice(b, st2, (1,) + sz2 + (chan,))
+
+        t2 = tuple(t2slice(b) for b in y2) if self.compute_vel else t2slice(y2[0])
+        # conv_r1's skip: 4-halo y1 slice (extent M+8), same margin the
+        # phase-2b windows use, so the y1 buffer serves both consumers.
+        t1, s5 = self._tile_window(y1, start, self.PHASE2B_MARGIN, self._r1_margin())
+        out = self._phase2c_tile(params, t2, t1)
         outs = out if self.compute_vel else (out,)
         return tuple(
             jax.lax.dynamic_update_slice(buf, o, s5)
@@ -535,17 +595,21 @@ class HierarchicalProcessor:
     #
     # Phase 2 is split so the margin recompute stays small:
     #   2a: conv_l1 alone — 2-voxel halo at level 1;
-    #   2b: down_l1 .. conv_r1 — the mid stack plus the final level-1 block,
-    #       20-voxel halo (the mid stack's true margin is 18; 20 keeps every
-    #       stride-2 grid even-aligned: the down_l2 input start a/2-8 must be
-    #       even) with a 2-voxel slack crop at the end.  conv_r1's y1 operand
-    #       comes from the same window (center crop), so no third phase or
-    #       extra buffer is needed.
-    # The monolithic alternative (margin 22 around everything) paid a 4.8x
-    # recompute at tile1=64; the split pays ~1.2x on the level-1 blocks and
-    # ~2x only on the mid stack's ~10% of FLOPs.
+    #   2b: down_l1 + conv_l2 — 4-voxel halo at level 1, writing the
+    #       level-2 buffer y2 (exact tiles, no slack);
+    #   2c: down_l2 .. conv_r1 — 8-voxel halo at level 2 around y2 windows
+    #       (the margin the L3 round trip consumes: down 16 -> conv_c 8 ->
+    #       up 8 -> conv_r2 4 -> up 8 -> conv_r1 4, with a final 2-voxel
+    #       level-1 slack crop keeping every stride-2 grid even-aligned);
+    #       conv_r2's skip is the window's own center crop, conv_r1's skip
+    #       is a 4-halo slice of the still-live y1 buffer.
+    # Earlier designs: monolithic margin 22 paid ~4.8x recompute at
+    # tile1=64; a two-way split (margin 20 around the whole mid stack)
+    # paid ~4x on the mid stack AND inflated the y1 buffer by ~1.5x — at
+    # 512^3 velocity that margin alone was ~2 GB of HBM.
     PHASE2A_MARGIN = 2
-    PHASE2B_MARGIN = 20
+    PHASE2B_MARGIN = 4
+    PHASE2C_MARGIN = 8  # level-2 voxels
     # Phase-3 level-1 halo: 3 voxels suffice (up_r0 + 2 convs); packed mode
     # uses 4 so the slice start lands on a W cell boundary.
     PHASE3_R1_MARGIN = 3
@@ -608,25 +672,37 @@ class HierarchicalProcessor:
         return resnet("conv_l1", t)
 
     def _phase2b_tile(self, params, t):
-        """down_l1 .. conv_r1 on a (1, M+40, ., .[/2], mid) y1 slice.
+        """down_l1 + conv_l2 on a (1, M+8, M+8, (M+8)[/2], mid) y1 window.
 
-        Returns the conv_r1 output tile (1, M, M, M[/2], mid) (+tangent):
-        the mid stack runs on the window, conv_r1's y1 operand is the
-        window's own center crop, and the final 2-voxel slack is dropped.
+        Returns the exact (1, M/2, M/2, (M/2)[/2], mid) conv_l2 tile
+        (+tangent) — no slack: down halves M+8 to M/2+4 and the 'CACA'
+        block consumes 2 per side.
+        """
+        resnet, resample, _, _, _ = self._block_helpers(params)
+        h = resample("down_l1", t, "DA")
+        return resnet("conv_l2", h)
+
+    def _phase2c_tile(self, params, t2, t1):
+        """down_l2 .. conv_r1 on a level-2 y2 window plus a y1 skip slice.
+
+        Args:
+            t2: (1, M/2+16, M/2+16, (M/2+16)[/2], mid) conv_l2 window.
+            t1: (1, M+8, M+8, (M+8)[/2], mid) conv_l1 (skip) slice.
+        Returns the conv_r1 output tile (1, M, M, M[/2], mid) (+tangent).
+        Extents (level): t2 M/2+16 (L2) -> down M/4+8 (L3) -> conv_c
+        M/4+4 -> up M/2+8 (L2) -> conv_r2[cat center-crop(t2)] M/2+4 ->
+        up M+8 (L1) -> conv_r1[cat t1] M+4 -> slack crop 2/side -> M.
         """
         vel = self.compute_vel
         packed = self.config.packed
         resnet, resample, cat, crop_like, resnet_cat = self._block_helpers(params)
 
-        h = resample("down_l1", t, "DA")
-        y2 = resnet("conv_l2", h)
-        h = resample("down_l2", y2, "DA")
+        h = resample("down_l2", t2, "DA")
         h = resnet("conv_c", h)
         h = resample("up_r2", h, "UA")
-        h = resnet_cat("conv_r2", crop_like(y2, h), h)
+        h = resnet_cat("conv_r2", crop_like(t2, h), h)
         h = resample("up_r1", h, "UA")
-        h = resnet_cat("conv_r1", crop_like(t, h), h)
-        # margin 20 leaves 2 extra voxels per side (M+4 -> M)
+        h = resnet_cat("conv_r1", crop_like(t1, h), h)
         wslack = 1 if packed else 2
         if vel:
             return (
@@ -778,12 +854,17 @@ class HierarchicalProcessor:
         y1 = self._phase2a(exec_params, h1, y1)
         del h1
         _stamp("phase2a", y1)
-        # ---- Phase 2b: mid stack + conv_r1 --------------------------------
+        # ---- Phase 2b: down_l1 + conv_l2 -> level-2 buffer ----------------
+        y2_shape = self._buf_shape(self._y2_margin(), level=2)
+        y2 = tuple(jnp.zeros(y2_shape, cfg.dtype) for _ in range(nbuf))
+        y2 = self._phase2b(exec_params, y1, y2)
+        _stamp("phase2b", y2)
+        # ---- Phase 2c: mid stack + conv_r1 (y1 still feeds the skips) -----
         r1_shape = self._buf_shape(self._r1_margin())
         r1 = tuple(jnp.zeros(r1_shape, cfg.dtype) for _ in range(nbuf))
-        r1 = self._phase2b(exec_params, y1, r1)
-        del y1
-        _stamp("phase2b", r1)
+        r1 = self._phase2c(exec_params, y1, y2, r1)
+        del y1, y2
+        _stamp("phase2c", r1)
         # ---- Phase 3: final decode, tiled ---------------------------------
         out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
         outs = tuple(

@@ -6,8 +6,8 @@
 *hierarchical* runtime (``hierarchical.py``): each phase runs on the local
 shard, and the padded level-1 buffers' halo margins are filled by
 ``ppermute`` exchanges from mesh neighbors (8 input voxels up front, then
-2 level-1 voxels after phase 1, 20 after phase 2a, 4 after phase 2b)
-instead of periodic self-wrap.
+2 level-1 voxels after phase 1, 4 after phase 2a, 8 level-2 voxels after
+phase 2b, 4 level-1 after phase 2c) instead of periodic self-wrap.
 Total overlap overhead stays ~1.3x while the box scales across the ICI mesh.
 
 This is the intended production path for 1024^3/2048^3 boxes on pod slices
@@ -163,8 +163,14 @@ class ShardedHierarchicalProcessor:
         self._jit_phase2a = jax.jit(
             sm(self._local_phase2a, (P(), bufs), bufs), donate_argnums=(1,)
         )
+        # 2b consumes y1 but must NOT donate it — phase 2c still reads the
+        # conv_r1 skip slices from it; 2c then donates both y1 and y2.
         self._jit_phase2b = jax.jit(
-            sm(self._local_phase2b, (P(), bufs), bufs), donate_argnums=(1,)
+            sm(self._local_phase2b, (P(), bufs), bufs)
+        )
+        self._jit_phase2c = jax.jit(
+            sm(self._local_phase2c, (P(), bufs, bufs), bufs),
+            donate_argnums=(1, 2),
         )
         self._jit_phase3 = jax.jit(
             sm(
@@ -208,11 +214,21 @@ class ShardedHierarchicalProcessor:
 
     def _local_phase2b(self, params, y1):
         loc = self.local
+        y2 = tuple(
+            jnp.zeros(
+                loc._buf_shape(loc._y2_margin(), level=2), loc.config.dtype
+            )
+            for _ in y1
+        )
+        return loc._phase2b_all(params, y1, y2)
+
+    def _local_phase2c(self, params, y1, y2):
+        loc = self.local
         r1 = tuple(
             jnp.zeros(loc._buf_shape(loc._r1_margin()), loc.config.dtype)
             for _ in y1
         )
-        return loc._phase2b_all(params, y1, r1)
+        return loc._phase2c_all(params, y1, y2, r1)
 
     def _local_phase3(self, params, boxp, r1, Dz, vel_fac):
         loc = self.local
@@ -251,6 +267,10 @@ class ShardedHierarchicalProcessor:
                 g(loc._buf_shape(loc._y1_margin()), (1, 2, 3))
                 for _ in range(nbuf)
             ),
+            "y2": tuple(
+                g(loc._buf_shape(loc._y2_margin(), level=2), (1, 2, 3))
+                for _ in range(nbuf)
+            ),
             "r1": tuple(
                 g(loc._buf_shape(loc._r1_margin()), (1, 2, 3))
                 for _ in range(nbuf)
@@ -281,6 +301,7 @@ class ShardedHierarchicalProcessor:
             "phase1": self._jit_phase1.lower(p, a["boxp"]),
             "phase2a": self._jit_phase2a.lower(p, a["h1"]),
             "phase2b": self._jit_phase2b.lower(p, a["y1"]),
+            "phase2c": self._jit_phase2c.lower(p, a["y1"], a["y2"]),
             "phase3": self._jit_phase3.lower(p, a["boxp"], a["r1"], s, s),
         }
 
@@ -316,8 +337,9 @@ class ShardedHierarchicalProcessor:
         h1 = self._jit_phase1(exec_params, boxp)
         y1 = self._jit_phase2a(exec_params, h1)
         del h1
-        r1 = self._jit_phase2b(exec_params, y1)
-        del y1
+        y2 = self._jit_phase2b(exec_params, y1)
+        r1 = self._jit_phase2c(exec_params, y1, y2)
+        del y1, y2
         outs = self._jit_phase3(exec_params, boxp, r1, Dz, vel_fac)
         del boxp, r1
         if as_numpy:

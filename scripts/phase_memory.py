@@ -67,6 +67,9 @@ def main():
     boxp = shdt((1, 3, args.size + 16, args.size + 16, args.size + 16))
     h1 = tuple(shdt(proc._buf_shape(proc._h1_margin())) for _ in range(nbuf))
     y1 = tuple(shdt(proc._buf_shape(proc._y1_margin())) for _ in range(nbuf))
+    y2 = tuple(
+        shdt(proc._buf_shape(proc._y2_margin(), level=2)) for _ in range(nbuf)
+    )
     r1 = tuple(shdt(proc._buf_shape(proc._r1_margin())) for _ in range(nbuf))
     outs = tuple(
         shdt((1, 3, args.size, args.size, args.size), jnp.float16) for _ in range(nbuf)
@@ -77,7 +80,8 @@ def main():
     phases = [
         ("phase1", proc._phase1, (ep_s, boxp, h1)),
         ("phase2a", proc._phase2a, (ep_s, h1, y1)),
-        ("phase2b", proc._phase2b, (ep_s, y1, r1)),
+        ("phase2b", proc._phase2b, (ep_s, y1, y2)),
+        ("phase2c", proc._phase2c, (ep_s, y1, y2, r1)),
         ("phase3", proc._phase3, (ep_s, boxp, r1, outs, sc, sc)),
     ]
     for name, fn, av in phases:

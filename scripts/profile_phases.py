@@ -131,15 +131,24 @@ def main():
     y1 = run("phase2a (conv_l1, tiles)", phase2a)
 
     def phase2b():
+        y2 = tuple(
+            jnp.zeros(proc._buf_shape(proc._y2_margin(), level=2), cfg.dtype)
+            for _ in range(nbuf)
+        )
+        return proc._phase2b(proc._exec_params, y1, y2)
+
+    y2 = run("phase2b (down_l1+conv_l2, tiles)", phase2b)
+
+    def phase2c():
         r1 = tuple(
             jnp.zeros(proc._buf_shape(proc._r1_margin()), cfg.dtype)
             for _ in range(nbuf)
         )
-        return proc._phase2b(proc._exec_params, y1, r1)
+        return proc._phase2c(proc._exec_params, y1, y2, r1)
 
-    r1 = run("phase2b (mid+conv_r1, tiles)", phase2b)
+    r1 = run("phase2c (mid+conv_r1, tiles)", phase2c)
     if not args.micro:
-        del h1, y1  # phase 3 reads boxp + r1 only
+        del h1, y1, y2  # phase 3 reads boxp + r1 only
 
     out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
 
@@ -161,7 +170,7 @@ def main():
         # Micro: one phase-2 tile slice (pure dynamic_slice on the padded
         # channels-last buffer) and a ghost fill.
         m1 = cfg.tile1
-        hm = proc.PHASE2_MARGIN
+        hm = proc.PHASE2B_MARGIN
         if cfg.packed:
             sizes = (m1 + 2 * hm, m1 + 2 * hm, (m1 + 2 * hm) // 2)
         else:

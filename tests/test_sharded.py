@@ -396,7 +396,7 @@ class TestPodScaleGeometry:
         assert proc.config.tile1 in (64, 128)
         # abstract-trace every phase of the sharded pipeline (no execution)
         lowered = proc.lower_phases()
-        assert set(lowered) == {"scale", "phase1", "phase2a", "phase2b", "phase3"}
+        assert set(lowered) == {"scale", "phase1", "phase2a", "phase2b", "phase2c", "phase3"}
         assert all(v is not None for v in lowered.values())
 
     @pytest.mark.slow
@@ -481,7 +481,7 @@ cfg = HierarchicalConfig(
 proc = ShardedHierarchicalProcessor(model, params, mesh, cfg)
 assert proc.config.size == (512, 1024, 1024), proc.config.size
 lowered = proc.lower_phases()
-assert set(lowered) == {"scale", "phase1", "phase2a", "phase2b", "phase3"}
+assert set(lowered) == {"scale", "phase1", "phase2a", "phase2b", "phase2c", "phase3"}
 print("2048-v5e16-OK")
 """
         env = dict(os.environ)
