@@ -23,6 +23,7 @@ def main():
     p.add_argument("--slab-h", type=int, default=256)
     p.add_argument("--tile1", type=int, default=64)
     p.add_argument("--vel", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--dtype", default="bfloat16")
     args = p.parse_args()
 
     import jax
@@ -56,12 +57,13 @@ def main():
         slab=args.slab,
         slab_h=args.slab_h,
         tile1=args.tile1,
+        dtype=jnp.dtype(args.dtype),
     )
     proc = HierarchicalProcessor(model, params, cfg)
     ep = proc._exec_params
     nbuf = 2 if proc.compute_vel else 1
 
-    def shdt(shape, dtype=jnp.bfloat16):
+    def shdt(shape, dtype=jnp.dtype(args.dtype)):
         return jax.ShapeDtypeStruct(shape, dtype)
 
     boxp = shdt((1, 3, args.size + 16, args.size + 16, args.size + 16))
