@@ -58,8 +58,12 @@ def main():
                    help="hierarchical phase-1 H split (default: size/2 for vel)")
     p.add_argument("--chunks", type=int, nargs=3, default=None,
                    help="run the chunked-hierarchical runtime with this "
-                        "decomposition (default: (2,2,1) automatically for "
-                        "f32 velocity, whose monolithic buffers need ~20 GB)")
+                        "decomposition (for boxes whose phase buffers "
+                        "overflow one chip, e.g. single-chip >= 1024^3)")
+    p.add_argument("--buf-dtype", default=None,
+                   help="inter-phase buffer storage dtype (default: bfloat16 "
+                        "for f32 compute — the consumers round conv operands "
+                        "to bf16 anyway; see HierarchicalConfig.buf_dtype)")
     p.add_argument("--pad", type=int, default=48,
                    help="chunked-runtime receptive pad per split-axis side")
     p.add_argument("--profile", action="store_true",
@@ -128,27 +132,29 @@ def main():
         # f32 doubles every buffer again; use measured-fitting geometry on
         # 16 GB chips.
         f32 = jnp.dtype(args.dtype) == jnp.float32
+        buf_dtype = (
+            jnp.dtype(args.buf_dtype) if args.buf_dtype
+            else (jnp.bfloat16 if f32 else None)
+        )
         t = min(128, args.size)
         if args.tile:
             tile = tuple(args.tile)
         elif compute_vel:
             # bf16 vel: the factored tangent freed enough HBM for a
             # (128, 128, 256) phase-3 tile (measured best; (128, 256, 256)
-            # still OOMs) and a 64-deep phase-1 slab.
-            tile = (min(64, t), t, t) if f32 else (t, t, min(2 * t, args.size))
+            # still OOMs).  f32 vel (bf16 buffers): phase-3 temp audits at
+            # 6.6 GiB for a 128^3 tile, peak 14.5 GiB — the widest fit.
+            tile = (t, t, t) if f32 else (t, t, min(2 * t, args.size))
         else:
             t2 = min(2 * t, args.size)
             tile = (t, t, t2) if f32 else (t, t2, t2)
         tile1 = args.tile1 if args.tile1 else min(64 if compute_vel else 128, args.size // 2)
-        slab = args.slab or min(
-            16 if (f32 and compute_vel) else (64 if compute_vel else 32), args.size
+        slab = args.slab or min(32 if f32 else (64 if compute_vel else 32), args.size)
+        slab_h_default = (
+            max(args.size // 4, 8) if f32
+            else (args.size // 2 if compute_vel and args.size >= 256 else None)
         )
         chunks = args.chunks
-        if chunks is None and f32 and compute_vel and args.size >= 512:
-            # f32 velocity: the monolithic level-1 buffer pairs need ~20 GB;
-            # the chunked runtime trades a (352/256)^2 pad recompute for
-            # fitting a 16 GB chip.
-            chunks = (2, 2, 1)
         if chunks and any(c > 1 for c in chunks):
             from jax_nbody_emulator_with_dj_tpu.chunked import (
                 ChunkedHierarchicalConfig,
@@ -165,6 +171,7 @@ def main():
                 tile1=args.tile1,
                 dtype=jnp.dtype(args.dtype),
                 output_dtype=np.float16,
+                buf_dtype=buf_dtype,
             )
             proc = ChunkedHierarchicalProcessor(model, params, ccfg)
         else:
@@ -173,11 +180,12 @@ def main():
                 slab=slab,
                 # vel: splitting H halves the slab working set, affording
                 # D-slab 32 (halo 1.25x) instead of 16 (1.5x) on 16 GB
-                slab_h=args.slab_h or (args.size // 2 if compute_vel and args.size >= 256 else None),
+                slab_h=args.slab_h or slab_h_default,
                 tile=tile,
                 tile1=tile1,
                 dtype=jnp.dtype(args.dtype),
                 output_dtype=np.float16,
+                buf_dtype=buf_dtype,
             )
             proc = HierarchicalProcessor(model, params, hcfg)
     else:

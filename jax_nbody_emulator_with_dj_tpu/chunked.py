@@ -68,6 +68,7 @@ class ChunkedHierarchicalConfig:
     output_dtype: np.dtype = np.float16
     in_chan: int = 3
     packed: bool = True
+    buf_dtype: jnp.dtype | None = None  # see HierarchicalConfig.buf_dtype
     # derived in __post_init__
     chunk_size: tuple[int, int, int] = field(init=False)
     pads: tuple[int, int, int] = field(init=False)
@@ -116,6 +117,7 @@ class ChunkedHierarchicalConfig:
             output_dtype=self.output_dtype,
             in_chan=self.in_chan,
             packed=self.packed,
+            buf_dtype=self.buf_dtype,
         )
 
 

@@ -114,6 +114,17 @@ class HierarchicalConfig:
     output_dtype: np.dtype = np.float16
     in_chan: int = 3
     packed: bool = True  # space-to-depth packed interior (see module doc)
+    buf_dtype: jnp.dtype | None = None  # inter-phase level-buffer storage
+    # (default: same as ``dtype``).  For float32 compute on TPU, set
+    # bfloat16: every buffer consumer is a conv whose operands XLA rounds
+    # to bfloat16 anyway (default TPU matmul precision — the analog of the
+    # reference's TF32-on-A100 f32 rows), so rounding at the buffer write
+    # is the same single rounding the consumer would apply; in-tile math
+    # stays f32.  Left at f32, XLA hoists a FULL bf16 copy of each
+    # loop-invariant buffer out of the tile loops (convert(dynamic_slice)
+    # -> dynamic_slice(convert) + LICM; optimization_barrier does not
+    # survive the TPU backend) — +2.2 GiB temp per consumed buffer at
+    # 512^3, which is what pushed monolithic f32 past 16 GB.
 
     def __post_init__(self):
         self.size = tuple(int(s) for s in self.size)
@@ -149,6 +160,8 @@ class HierarchicalConfig:
                 raise ValueError(f"packed mode needs tile1 % 8 == 0, got {self.tile1}")
             if self.tile[2] % 4:
                 raise ValueError(f"packed mode needs tile W % 4 == 0, got {self.tile}")
+        if self.buf_dtype is None:
+            self.buf_dtype = self.dtype
 
 
 class HierarchicalProcessor:
@@ -426,10 +439,23 @@ class HierarchicalProcessor:
         m = self._h1_margin()
         return tuple(
             jax.lax.dynamic_update_slice(
-                buf, o, (0, m[0] + d0 // 2, m[1] + h0 // 2, m[2], 0)
+                buf, o.astype(buf.dtype), (0, m[0] + d0 // 2, m[1] + h0 // 2, m[2], 0)
             )
             for buf, o in zip(h1_out, outs)
         )
+
+    def _read_tile(self, t):
+        """Upcast a level-buffer tile slice to the compute dtype.
+
+        No-op unless ``buf_dtype != dtype`` (the f32-compute/bf16-buffer
+        mode, see ``HierarchicalConfig.buf_dtype``).  XLA folds the
+        upcast into consumers: conv operands collapse back to bf16
+        (convert(convert(x)) -> x), while elementwise ops (the factored
+        tangent's x*g + dx, biases, residual adds) run in f32.
+        """
+        if jnp.dtype(self.config.buf_dtype) != jnp.dtype(self.config.dtype):
+            return t.astype(self.config.dtype)
+        return t
 
     def _tile_window(self, bufs, start, halo, out_margin):
         """Slice a (tile1 + 2*halo) window from padded buffers at `start`.
@@ -463,7 +489,9 @@ class HierarchicalProcessor:
         chan = bufs[0].shape[-1]
 
         def tslice(h):
-            return jax.lax.dynamic_slice(h, starts, (1,) + sizes + (chan,))
+            return self._read_tile(
+                jax.lax.dynamic_slice(h, starts, (1,) + sizes + (chan,))
+            )
 
         if self.compute_vel:
             return tuple(tslice(h) for h in bufs), s5
@@ -474,7 +502,7 @@ class HierarchicalProcessor:
         out = self._phase2a_tile(params, t)
         outs = out if self.compute_vel else (out,)
         return tuple(
-            jax.lax.dynamic_update_slice(buf, o, s5)
+            jax.lax.dynamic_update_slice(buf, o.astype(buf.dtype), s5)
             for buf, o in zip(y1_out, outs)
         )
 
@@ -492,7 +520,7 @@ class HierarchicalProcessor:
             0,
         )
         return tuple(
-            jax.lax.dynamic_update_slice(buf, o, s5)
+            jax.lax.dynamic_update_slice(buf, o.astype(buf.dtype), s5)
             for buf, o in zip(y2_out, outs)
         )
 
@@ -511,7 +539,9 @@ class HierarchicalProcessor:
         chan = y2[0].shape[-1]
 
         def t2slice(b):
-            return jax.lax.dynamic_slice(b, st2, (1,) + sz2 + (chan,))
+            return self._read_tile(
+                jax.lax.dynamic_slice(b, st2, (1,) + sz2 + (chan,))
+            )
 
         t2 = tuple(t2slice(b) for b in y2) if self.compute_vel else t2slice(y2[0])
         # conv_r1's skip: 4-halo y1 slice (extent M+8), same margin the
@@ -520,7 +550,7 @@ class HierarchicalProcessor:
         out = self._phase2c_tile(params, t2, t1)
         outs = out if self.compute_vel else (out,)
         return tuple(
-            jax.lax.dynamic_update_slice(buf, o, s5)
+            jax.lax.dynamic_update_slice(buf, o.astype(buf.dtype), s5)
             for buf, o in zip(r1_out, outs)
         )
 
@@ -545,8 +575,10 @@ class HierarchicalProcessor:
             else:
                 starts.append(a[2] // 2)
                 sizes.append(tw // 2 + 2 * hm)
-            return jax.lax.dynamic_slice(
-                buf, (0, *starts, 0), (1, *sizes, buf.shape[-1])
+            return self._read_tile(
+                jax.lax.dynamic_slice(
+                    buf, (0, *starts, 0), (1, *sizes, buf.shape[-1])
+                )
             )
 
         if self.compute_vel:
@@ -842,13 +874,13 @@ class HierarchicalProcessor:
         # ---- Phase 1: build the (phase-2-padded) level-1 volume -----------
         nbuf = 2 if self.compute_vel else 1
         h1_shape = self._buf_shape(self._h1_margin())
-        h1 = tuple(jnp.zeros(h1_shape, cfg.dtype) for _ in range(nbuf))
+        h1 = tuple(jnp.zeros(h1_shape, cfg.buf_dtype) for _ in range(nbuf))
         h1 = self._phase1(exec_params, boxp, h1)
         _stamp("phase1", h1)
 
         # ---- Phase 2a: conv_l1 (level-1 block) ----------------------------
         y1 = tuple(
-            jnp.zeros(self._buf_shape(self._y1_margin()), cfg.dtype)
+            jnp.zeros(self._buf_shape(self._y1_margin()), cfg.buf_dtype)
             for _ in range(nbuf)
         )
         y1 = self._phase2a(exec_params, h1, y1)
@@ -856,12 +888,12 @@ class HierarchicalProcessor:
         _stamp("phase2a", y1)
         # ---- Phase 2b: down_l1 + conv_l2 -> level-2 buffer ----------------
         y2_shape = self._buf_shape(self._y2_margin(), level=2)
-        y2 = tuple(jnp.zeros(y2_shape, cfg.dtype) for _ in range(nbuf))
+        y2 = tuple(jnp.zeros(y2_shape, cfg.buf_dtype) for _ in range(nbuf))
         y2 = self._phase2b(exec_params, y1, y2)
         _stamp("phase2b", y2)
         # ---- Phase 2c: mid stack + conv_r1 (y1 still feeds the skips) -----
         r1_shape = self._buf_shape(self._r1_margin())
-        r1 = tuple(jnp.zeros(r1_shape, cfg.dtype) for _ in range(nbuf))
+        r1 = tuple(jnp.zeros(r1_shape, cfg.buf_dtype) for _ in range(nbuf))
         r1 = self._phase2c(exec_params, y1, y2, r1)
         del y1, y2
         _stamp("phase2c", r1)

@@ -123,6 +123,7 @@ class ShardedHierarchicalProcessor:
             output_dtype=config.output_dtype,
             in_chan=config.in_chan,
             packed=config.packed,
+            buf_dtype=config.buf_dtype,
         )
         try:
             local_cfg = HierarchicalConfig(
@@ -199,7 +200,7 @@ class ShardedHierarchicalProcessor:
         loc = self.local
         nbuf = 2 if self.compute_vel else 1
         h1 = tuple(
-            jnp.zeros(loc._buf_shape(loc._h1_margin()), loc.config.dtype)
+            jnp.zeros(loc._buf_shape(loc._h1_margin()), loc.config.buf_dtype)
             for _ in range(nbuf)
         )
         return loc._phase1_all(params, boxp, h1)
@@ -207,7 +208,7 @@ class ShardedHierarchicalProcessor:
     def _local_phase2a(self, params, h1):
         loc = self.local
         y1 = tuple(
-            jnp.zeros(loc._buf_shape(loc._y1_margin()), loc.config.dtype)
+            jnp.zeros(loc._buf_shape(loc._y1_margin()), loc.config.buf_dtype)
             for _ in h1
         )
         return loc._phase2a_all(params, h1, y1)
@@ -216,7 +217,7 @@ class ShardedHierarchicalProcessor:
         loc = self.local
         y2 = tuple(
             jnp.zeros(
-                loc._buf_shape(loc._y2_margin(), level=2), loc.config.dtype
+                loc._buf_shape(loc._y2_margin(), level=2), loc.config.buf_dtype
             )
             for _ in y1
         )
@@ -225,7 +226,7 @@ class ShardedHierarchicalProcessor:
     def _local_phase2c(self, params, y1, y2):
         loc = self.local
         r1 = tuple(
-            jnp.zeros(loc._buf_shape(loc._r1_margin()), loc.config.dtype)
+            jnp.zeros(loc._buf_shape(loc._r1_margin()), loc.config.buf_dtype)
             for _ in y1
         )
         return loc._phase2c_all(params, y1, y2, r1)
@@ -247,6 +248,7 @@ class ShardedHierarchicalProcessor:
         loc = self.local
         mesh_shape = tuple(self.mesh.shape[a] for a in SPATIAL_AXES)
         dt = jnp.dtype(cfg.dtype)
+        bdt = jnp.dtype(cfg.buf_dtype)
         nbuf = 2 if self.compute_vel else 1
 
         def g(shape, spatial_at, dtype=dt):
@@ -260,19 +262,19 @@ class ShardedHierarchicalProcessor:
             "box": g((1, cfg.in_chan, ld, lh, lw), (2, 3, 4)),
             "boxp": g((1, cfg.in_chan, ld + 16, lh + 16, lw + 16), (2, 3, 4)),
             "h1": tuple(
-                g(loc._buf_shape(loc._h1_margin()), (1, 2, 3))
+                g(loc._buf_shape(loc._h1_margin()), (1, 2, 3), bdt)
                 for _ in range(nbuf)
             ),
             "y1": tuple(
-                g(loc._buf_shape(loc._y1_margin()), (1, 2, 3))
+                g(loc._buf_shape(loc._y1_margin()), (1, 2, 3), bdt)
                 for _ in range(nbuf)
             ),
             "y2": tuple(
-                g(loc._buf_shape(loc._y2_margin(), level=2), (1, 2, 3))
+                g(loc._buf_shape(loc._y2_margin(), level=2), (1, 2, 3), bdt)
                 for _ in range(nbuf)
             ),
             "r1": tuple(
-                g(loc._buf_shape(loc._r1_margin()), (1, 2, 3))
+                g(loc._buf_shape(loc._r1_margin()), (1, 2, 3), bdt)
                 for _ in range(nbuf)
             ),
             "scalar": jax.ShapeDtypeStruct((1,), jnp.float32),

@@ -24,6 +24,7 @@ def main():
     p.add_argument("--tile1", type=int, default=64)
     p.add_argument("--vel", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--buf-dtype", default=None)
     args = p.parse_args()
 
     import jax
@@ -58,6 +59,7 @@ def main():
         slab_h=args.slab_h,
         tile1=args.tile1,
         dtype=jnp.dtype(args.dtype),
+        buf_dtype=jnp.dtype(args.buf_dtype) if args.buf_dtype else None,
     )
     proc = HierarchicalProcessor(model, params, cfg)
     ep = proc._exec_params
@@ -66,13 +68,14 @@ def main():
     def shdt(shape, dtype=jnp.dtype(args.dtype)):
         return jax.ShapeDtypeStruct(shape, dtype)
 
+    bdt = jnp.dtype(cfg.buf_dtype)
     boxp = shdt((1, 3, args.size + 16, args.size + 16, args.size + 16))
-    h1 = tuple(shdt(proc._buf_shape(proc._h1_margin())) for _ in range(nbuf))
-    y1 = tuple(shdt(proc._buf_shape(proc._y1_margin())) for _ in range(nbuf))
+    h1 = tuple(shdt(proc._buf_shape(proc._h1_margin()), bdt) for _ in range(nbuf))
+    y1 = tuple(shdt(proc._buf_shape(proc._y1_margin()), bdt) for _ in range(nbuf))
     y2 = tuple(
-        shdt(proc._buf_shape(proc._y2_margin(), level=2)) for _ in range(nbuf)
+        shdt(proc._buf_shape(proc._y2_margin(), level=2), bdt) for _ in range(nbuf)
     )
-    r1 = tuple(shdt(proc._buf_shape(proc._r1_margin())) for _ in range(nbuf))
+    r1 = tuple(shdt(proc._buf_shape(proc._r1_margin()), bdt) for _ in range(nbuf))
     outs = tuple(
         shdt((1, 3, args.size, args.size, args.size), jnp.float16) for _ in range(nbuf)
     )

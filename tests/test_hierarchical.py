@@ -214,3 +214,58 @@ class TestPhase1HSplit:
                 HierarchicalProcessor(model, params, cfg).process_box(box, 0.5, 0.3175)
             )
         np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-7)
+
+
+class TestBufDtype:
+    """f32 compute with bf16 inter-phase buffers (the TPU f32 big-box mode).
+
+    Every level-buffer consumer is a conv; on TPU, XLA rounds f32 conv
+    operands to bf16 anyway (default matmul precision), so bf16 buffer
+    storage only moves that rounding to the write.  On CPU (true-f32
+    convs) the rounding is real, so this asserts bf16-level agreement
+    with the all-f32 runs, plus exact equality of the no-op default.
+    """
+
+    @pytest.mark.slow
+    def test_bf16_buffers_match_f32(self, style_params, box, subbox_reference):
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=MID)
+        cfg = HierarchicalConfig(
+            size=(N,) * 3, slab=8, tile=(8, 8, 8),
+            dtype=jnp.float32, output_dtype=np.float32,
+            buf_dtype=jnp.bfloat16,
+        )
+        out = HierarchicalProcessor(model, params, cfg).process_box(box, 0.5, 0.3175)
+        scale = np.abs(subbox_reference).max()
+        np.testing.assert_allclose(
+            out / scale, subbox_reference / scale, rtol=0.05, atol=0.03
+        )
+
+    @pytest.mark.slow
+    def test_bf16_buffers_match_f32_vel(self, style_params, box):
+        params = modulate_emulator_parameters_vel(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorVelCore(mid_chan=MID)
+        outs = []
+        for buf_dtype in (None, jnp.bfloat16):
+            cfg = HierarchicalConfig(
+                size=(N,) * 3, slab=8, tile=(8, 8, 8),
+                dtype=jnp.float32, output_dtype=np.float32,
+                buf_dtype=buf_dtype,
+            )
+            outs.append(
+                HierarchicalProcessor(model, params, cfg).process_box(box, 0.5, 0.3175)
+            )
+        (d0, v0), (d1, v1) = outs
+        ds, vs = np.abs(d0).max(), np.abs(v0).max()
+        np.testing.assert_allclose(d1 / ds, d0 / ds, rtol=0.05, atol=0.03)
+        # velocity is a derivative — one tail element can exceed 0.05 under
+        # real (CPU) bf16 rounding; on TPU the rounding already happens in
+        # the all-f32 run's conv operands, so the two paths coincide there
+        np.testing.assert_allclose(v1 / vs, v0 / vs, rtol=0.05, atol=0.1)
+
+    def test_default_is_identity(self):
+        cfg = HierarchicalConfig(size=(N,) * 3, slab=8, tile=(8, 8, 8),
+                                 dtype=jnp.float32)
+        assert jnp.dtype(cfg.buf_dtype) == jnp.float32
+        cfg = HierarchicalConfig(size=(N,) * 3, slab=8, tile=(8, 8, 8))
+        assert jnp.dtype(cfg.buf_dtype) == jnp.bfloat16
