@@ -142,14 +142,15 @@ def main():
         elif compute_vel:
             # bf16 vel: the factored tangent freed enough HBM for a
             # (128, 128, 256) phase-3 tile (measured best; (128, 256, 256)
-            # still OOMs).  f32 vel (bf16 buffers): phase-3 temp audits at
-            # 6.6 GiB for a 128^3 tile, peak 14.5 GiB — the widest fit.
-            tile = (t, t, t) if f32 else (t, t, min(2 * t, args.size))
+            # still OOMs).  f32 vel (bf16 buffers): a 128^3 tile audits at
+            # ~14.5 GiB peak but RESOURCE_EXHAUSTs at runtime (allocator
+            # slack); (128, 128, 64) executes — 22.0 s measured at 512^3.
+            tile = (t, t, max(t // 2, 4)) if f32 else (t, t, min(2 * t, args.size))
         else:
             t2 = min(2 * t, args.size)
             tile = (t, t, t2) if f32 else (t, t2, t2)
         tile1 = args.tile1 if args.tile1 else min(64 if compute_vel else 128, args.size // 2)
-        slab = args.slab or min(32 if f32 else (64 if compute_vel else 32), args.size)
+        slab = args.slab or min(64 if compute_vel else 32, args.size)
         slab_h_default = (
             max(args.size // 4, 8) if f32
             else (args.size // 2 if compute_vel and args.size >= 256 else None)

@@ -66,6 +66,15 @@ def main():
         print(json.dumps(record), flush=True)
 
     out = ROOT / "bench_matrix.json"
+    merged = {}
+    if out.exists():  # partial runs update their rows, keep the rest
+        try:
+            merged = {r["row"]: r for r in json.loads(out.read_text())}
+        except (json.JSONDecodeError, KeyError):
+            pass
+    merged.update({r["row"]: r for r in rows})
+    ordered = [f"{k}-{m}-{d}" for (k, m, d) in REF]
+    rows = [merged[t] for t in ordered if t in merged]
     out.write_text(json.dumps(rows, indent=2))
     print(f"\n| config | this engine (v5e) | reference (A100) | ratio |",
           file=sys.stderr)
