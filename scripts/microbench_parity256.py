@@ -15,6 +15,15 @@ with the kernel rows stacked (Wp[kd,kh,0]; Wp[kd,kh,1]).  The price is one
 output interleave (pad+stack+reshape) per conv.
 
 Usage: python scripts/microbench_parity256.py [--d D --h H --w Wvox]
+
+VERDICT (v5e, (144,144,272) bf16, chain of 8): XLA conv3_packed 82.7 TF/s;
+parity K=256 dots 7.7; tap-unrolled K=128 dots 17.5.  The nine shifted
+(kd, kh) window operands are strided views the dot must materialize — nine
+full-tensor relayout copies per conv — while XLA's conv emitter streams
+the same taps through VMEM with halo-aware DMA.  The emitter stays the
+production path for the 128-lane interior; explicit-dot reformulations
+only pay off where the emitter is pathological (the C=3 entry/exit, see
+``s2d.conv3_entry_im2col``).
 """
 
 from __future__ import annotations
