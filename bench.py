@@ -66,6 +66,12 @@ def main():
                         "to bf16 anyway; see HierarchicalConfig.buf_dtype)")
     p.add_argument("--pad", type=int, default=48,
                    help="chunked-runtime receptive pad per split-axis side")
+    p.add_argument("--host-input", action="store_true",
+                   help="keep the global box (and assembled outputs) in host "
+                        "RAM — required when box + outputs + working set "
+                        "exceed HBM (e.g. 1024^3 on one 16 GB chip via "
+                        "--chunks); timing then includes the host<->device "
+                        "chunk transfers")
     p.add_argument("--profile", action="store_true",
                    help="sync between hierarchical phases and print per-phase times")
     p.add_argument("--donate-input", action=argparse.BooleanOptionalAction,
@@ -207,7 +213,16 @@ def main():
     # The chunked runtime keeps the global box alive across chunks (each
     # chunk is donated into its inner run instead).
     donate = bool(args.donate_input and use_hier and not chunked)
-    if donate or chunked:
+    if args.host_input:
+        box_host = (
+            np.random.default_rng(1)
+            .normal(size=(3,) + size)
+            .astype(np.dtype(args.dtype))
+        )
+
+        def make_box(i):
+            return box_host
+    elif donate or chunked:
         # Donating mode consumes the input each run; regenerate it on device
         # (outside the timed region) instead of re-uploading through the
         # tunnel.  The chunked runtime reuses one device-resident box.
@@ -241,9 +256,25 @@ def main():
     # Warmup / compile (excluded, as in the reference's published numbers).
     # NB: block_until_ready is a no-op on some remote backends; force_sync
     # reads back one element per output, a true completion barrier.
-    out = proc.process_box(make_box(0), z=0.0, Om=0.3175, as_numpy=False,
-                           **({"donate_input": True} if donate else {}))
-    force_sync(out)
+    as_numpy = bool(args.host_input)  # host mode: assemble outputs in RAM
+    if args.host_input and chunked:
+        # Warm the inner phase programs with a device-generated chunk:
+        # warming through process_box would push the full box through the
+        # host<->device link a second time (the link is the reason host
+        # mode exists, and in this sandbox it runs at ~5 MB/s).
+        warm = jax.jit(
+            lambda: jnp.zeros((3,) + proc.config.inner_size, jnp.dtype(args.dtype))
+        )()
+        force_sync(warm)
+        res = proc.inner.process_box(
+            warm, z=0.0, Om=0.3175, as_numpy=False, donate_input=True
+        )
+        for t in res if isinstance(res, tuple) else (res,):
+            force_sync(proc._crop(t, np.dtype(proc.config.output_dtype)))
+    else:
+        out = proc.process_box(make_box(0), z=0.0, Om=0.3175, as_numpy=as_numpy,
+                               **({"donate_input": True} if donate else {}))
+        force_sync(out)
 
     times = []
     for r in range(args.runs):
@@ -251,7 +282,7 @@ def main():
         # sets alive at once would crowd the 16 GB chip in vel mode
         b = make_box(r + 1)
         t0 = time.perf_counter()
-        out = proc.process_box(b, z=0.0, Om=0.3175, as_numpy=False, **kw)
+        out = proc.process_box(b, z=0.0, Om=0.3175, as_numpy=as_numpy, **kw)
         force_sync(out)
         times.append(time.perf_counter() - t0)
         del b
@@ -283,6 +314,10 @@ def main():
         "runtime": "hierarchical" if use_hier else "subbox",
         "ndiv": None if use_hier else list(args.ndiv),
     }
+    if args.profile and use_hier and getattr(proc, "last_timings", None):
+        # device-side phase split of the last run; in --host-input mode the
+        # wall-vs-phase-sum gap is the host<->device transfer time
+        record["phases_s"] = {k: round(v, 3) for k, v in proc.last_timings.items()}
     print(json.dumps(record))
 
 

@@ -35,6 +35,7 @@ from .models.cores import (
 from .subbox import SubboxConfig, SubboxProcessor
 from .chunked import ChunkedHierarchicalConfig, ChunkedHierarchicalProcessor
 from .hierarchical import HierarchicalConfig, HierarchicalProcessor
+from .geometry import auto_hierarchical_config
 
 __version__ = "0.1.0"
 
@@ -52,6 +53,7 @@ __all__ = [
     "HierarchicalProcessor",
     "ChunkedHierarchicalConfig",
     "ChunkedHierarchicalProcessor",
+    "auto_hierarchical_config",
     # Cosmology
     "growth_factor",
     "hubble_rate",

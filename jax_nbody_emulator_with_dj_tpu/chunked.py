@@ -155,16 +155,25 @@ class ChunkedHierarchicalProcessor:
 
         self._extract = jax.jit(_extract)
 
-        def _crop_scatter(buf, t, anchor):
-            c = jax.lax.slice(
+        def _crop(t):
+            return jax.lax.slice(
                 t,
                 (0, *config.pads),
                 tuple(p + n for p, n in zip((config.in_chan, *config.pads), (0, *config.chunk_size))),
             )
+
+        def _crop_scatter(buf, t, anchor):
             return jax.lax.dynamic_update_slice(
-                buf, c.astype(buf.dtype), (0, anchor[0], anchor[1], anchor[2])
+                buf, _crop(t).astype(buf.dtype), (0, anchor[0], anchor[1], anchor[2])
             )
 
+        # Host-assembly path: crop to the kept center ON DEVICE before the
+        # readback — the pad margins are (inner/chunk - 1) pure overhead on
+        # the device->host link (2x at 2*48/512-pad chunks; worse for small
+        # chunks), and that link is the bottleneck whenever the chunked
+        # runtime is the right tool at all.
+        self._crop = jax.jit(lambda t, odt: _crop(t).astype(odt),
+                             static_argnums=(1,), donate_argnums=(0,))
         self._crop_scatter = jax.jit(_crop_scatter, donate_argnums=(0,))
 
     def _anchors(self):
@@ -224,12 +233,9 @@ class ChunkedHierarchicalProcessor:
                     timings[k] = timings.get(k, 0.0) + v
             for i, (o, r) in enumerate(zip(outs, res)):
                 if as_numpy:
-                    r = np.asarray(r)
-                    sl = tuple(
-                        slice(p, p + c) for p, c in zip(cfg.pads, cfg.chunk_size)
-                    )
+                    r = np.asarray(self._crop(r, jnp.dtype(odt)))
                     dst = tuple(slice(ai, ai + c) for ai, c in zip(a, cfg.chunk_size))
-                    o[(slice(None),) + dst] = r[(slice(None),) + sl].astype(odt)
+                    o[(slice(None),) + dst] = r
                 else:
                     outs[i] = self._crop_scatter(
                         o, r, jnp.asarray(a, jnp.int32)

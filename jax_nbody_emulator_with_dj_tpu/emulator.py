@@ -33,11 +33,19 @@ from .utils.params import convert_reference_params, load_params_npz
 
 @dataclass
 class NBodyEmulator:
-    """Bundle of model + params + (optional) subbox processor."""
+    """Bundle of model + params + (optional) big-box processor.
+
+    ``processor`` is whichever runtime ``create_emulator`` built from
+    ``processor_config``: :class:`~.subbox.SubboxProcessor` (reference
+    semantics), :class:`~.hierarchical.HierarchicalProcessor` (the
+    overlap-minimal flagship), or
+    :class:`~.chunked.ChunkedHierarchicalProcessor` (boxes beyond one
+    chip's buffer memory).
+    """
 
     model: object
     params: dict | None
-    processor: SubboxProcessor | None
+    processor: object | None
     premodulate: bool = False
     compute_vel: bool = True
     dtype: jnp.dtype = jnp.float32
@@ -66,9 +74,9 @@ class NBodyEmulator:
     def process_box(self, input_box, z, Om, desc="Processing subboxes", show_progress=True, **kw):
         if self.processor is None:
             raise ValueError("No processor created; pass processor_config= to create_emulator.")
-        return self.processor.process_box(
-            input_box, z, Om, desc=desc, show_progress=show_progress, **kw
-        )
+        if isinstance(self.processor, SubboxProcessor):
+            kw = dict(kw, desc=desc, show_progress=show_progress)
+        return self.processor.process_box(input_box, z, Om, **kw)
 
     def __call__(self, x, z, Om):
         return self.apply(x, z, Om)
@@ -161,12 +169,30 @@ def modulate_emulator_parameters_vel(params: dict, z, Om, eps: float = 1e-8) -> 
     return _modulate_tree(params, s, vel=True, eps=eps)
 
 
+def _make_processor(model, params, config):
+    """Dispatch a processor_config dataclass to its runtime."""
+    if isinstance(config, SubboxConfig):
+        return SubboxProcessor(model, params, config)
+    # Lazy imports: hierarchical/chunked import pieces of this module.
+    from .chunked import ChunkedHierarchicalConfig, ChunkedHierarchicalProcessor
+    from .hierarchical import HierarchicalConfig, HierarchicalProcessor
+
+    if isinstance(config, HierarchicalConfig):
+        return HierarchicalProcessor(model, params, config)
+    if isinstance(config, ChunkedHierarchicalConfig):
+        return ChunkedHierarchicalProcessor(model, params, config)
+    raise TypeError(
+        "processor_config must be a SubboxConfig, HierarchicalConfig, or "
+        f"ChunkedHierarchicalConfig, got {type(config).__name__}"
+    )
+
+
 def create_emulator(
     premodulate: bool = False,
     compute_vel: bool = True,
     load_params: bool = True,
     params: dict | None = None,
-    processor_config: SubboxConfig | None = None,
+    processor_config=None,
     premodulate_z: float | None = None,
     premodulate_Om: float | None = None,
     dtype: jnp.dtype | None = None,
@@ -182,7 +208,12 @@ def create_emulator(
             ``params`` is given).
         params: explicit parameter pytree (style-layout; premodulation is
             applied here when requested).
-        processor_config: build a SubboxProcessor for ``process_box``.
+        processor_config: build the matching runtime for ``process_box``:
+            ``SubboxConfig`` -> SubboxProcessor (reference semantics),
+            ``HierarchicalConfig`` -> HierarchicalProcessor (flagship),
+            ``ChunkedHierarchicalConfig`` -> ChunkedHierarchicalProcessor.
+            ``geometry.auto_hierarchical_config(size, ...)`` plans a
+            measured-fitting config automatically.
         premodulate_z / premodulate_Om: fixed cosmology for the fold.
         dtype: compute dtype; ``processor_config.dtype`` wins if present.
         **model_kwargs: forwarded to the model (in_chan, out_chan, mid_chan,
@@ -220,7 +251,7 @@ def create_emulator(
 
     processor = None
     if processor_config is not None:
-        processor = SubboxProcessor(model, params, processor_config)
+        processor = _make_processor(model, params, processor_config)
         dtype = processor_config.dtype
     elif dtype is None:
         dtype = jnp.float32
