@@ -208,7 +208,10 @@ class ChunkedHierarchicalProcessor:
                 for _ in range(nout)
             ]
         timings: dict[str, float] = {}
-        for a in self._anchors():
+        anchors = self._anchors()
+
+        def fetch(a):
+            """Stage the padded chunk at anchor ``a`` onto the device."""
             start = tuple(
                 (ai - p) % n for ai, p, n in zip(a, cfg.pads, cfg.size)
             )
@@ -217,16 +220,24 @@ class ChunkedHierarchicalProcessor:
                     (np.arange(s, s + m) % n)
                     for s, m, n in zip(start, cfg.inner_size, cfg.size)
                 ]
-                chunk = input_box[
+                gathered = input_box[
                     :, idx[0][:, None, None], idx[1][None, :, None], idx[2][None, None, :]
                 ]
-            else:
-                chunk = self._extract(
-                    input_box, jnp.asarray(start, jnp.int32)
-                )
+                return jax.device_put(gathered)
+            return self._extract(input_box, jnp.asarray(start, jnp.int32))
+
+        # One-chunk software pipeline: the host gather + H2D of chunk i+1
+        # runs while the device computes chunk i (the inner dispatch is
+        # async; the blocking point is the output readback below).  Only
+        # ONE inner run is ever in flight — overlapping two would double
+        # the phase buffers, defeating the runtime's purpose — so the
+        # extra residency is a single input chunk.
+        chunk = fetch(anchors[0])
+        for ci, a in enumerate(anchors):
             res = self.inner.process_box(
                 chunk, z, Om, as_numpy=False, profile=profile, donate_input=True
             )
+            chunk = fetch(anchors[ci + 1]) if ci + 1 < len(anchors) else None
             res = res if self.compute_vel else (res,)
             if profile:
                 for k, v in self.inner.last_timings.items():
