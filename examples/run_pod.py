@@ -42,6 +42,17 @@ def parse_args():
                    help=".npy 1LPT displacement (3, N, N, N); memory-mapped, "
                         "each host reads only its own shards. Default: "
                         "synthetic per-shard Gaussian field (benchmark mode)")
+    p.add_argument("--ic-seed", type=int, default=None,
+                   help="generate physical ICs ON-MESH instead of reading "
+                        "--input: EH98 linear P(k) -> sharded GRF -> "
+                        "Zel'dovich 1LPT, no host I/O at any stage")
+    p.add_argument("--boxsize", type=float, default=1000.0,
+                   help="box side [Mpc/h] for --ic-seed / --validate")
+    p.add_argument("--validate", action="store_true",
+                   help="deposit the emulated displacement to a density "
+                        "ON-MESH and print its P(k) (pencil-FFT estimator)")
+    p.add_argument("--margin", type=int, default=32,
+                   help="--validate deposition halo-reduce margin [cells]")
     p.add_argument("--params", type=str, default=None)
     p.add_argument("--mesh", type=int, nargs=3, default=None,
                    help="3D mesh shape (default: auto-factor all devices)")
@@ -106,7 +117,27 @@ def main():
                            dtype=jnp.bfloat16, output_dtype=np.float16)
     proc = ShardedBoxProcessor(model, params, mesh, cfg)
 
-    if args.input:
+    if args.ic_seed is not None:
+        # Full on-mesh IC generation: every stage leaves the volume sharded
+        from jax_nbody_emulator_with_dj_tpu.science import (
+            eisenstein_hu_pk,
+            gaussian_random_field_sharded,
+            zeldovich_displacement_sharded,
+        )
+
+        k_t = np.logspace(-4, 2, 512)
+        p_t = np.asarray(
+            eisenstein_hu_pk(k_t, Om=args.Om, Ob=0.049, h=0.6711,
+                             ns=0.9624, sigma8=0.834)
+        )
+        delta = gaussian_random_field_sharded(
+            jax.random.key(args.ic_seed), args.size, mesh, args.boxsize,
+            k_t, p_t,
+        )
+        psi = zeldovich_displacement_sharded(delta, mesh, args.boxsize)
+        box = jax.jit(lambda x: x.astype(cfg.dtype))(psi)
+        del delta, psi
+    elif args.input:
         psi = np.lib.format.open_memmap(args.input, mode="r")
         box = make_sharded_box(mesh, size, lambda idx: psi[idx], dtype=np.float16)
     else:
@@ -131,6 +162,28 @@ def main():
         print(f"{args.size}^3 {'disp+vel' if args.vel else 'disp'}: "
               f"{dt:.2f} s  ({vps/1e6:.1f} M voxel/s, "
               f"{vps/1e6/n_dev:.1f} M voxel/s/chip)", flush=True)
+
+    if args.validate:
+        # On-mesh validation: MAS density of the emulated displacement and
+        # its pencil-FFT P(k) — nothing gathered, pod-scale safe
+        from jax_nbody_emulator_with_dj_tpu.science import (
+            displacement_to_density_sharded,
+            power_spectrum_sharded,
+        )
+
+        dis = out[0] if args.vel else out
+        delta_emu = displacement_to_density_sharded(
+            dis, mesh, args.boxsize, margin=args.margin
+        )
+        k, pk, nm = power_spectrum_sharded(delta_emu, mesh, args.boxsize)
+        k, pk, nm = np.asarray(k), np.asarray(pk), np.asarray(nm)
+        if pid == 0:
+            sel = nm > 0
+            rows = np.linspace(0, sel.sum() - 1, 8).astype(int)
+            print("emulated-density P(k):", flush=True)
+            for i in np.flatnonzero(sel)[rows]:
+                print(f"  k={k[i]:.4f} h/Mpc  P={pk[i]:.4e}  ({int(nm[i])} modes)",
+                      flush=True)
 
     if args.out_dir:
         outdir = Path(args.out_dir)

@@ -15,6 +15,13 @@ from .powerspec_sharded import (
     transfer_and_correlation_sharded,
     summary_metrics_sharded,
 )
+from .field_sharded import (
+    gaussian_random_field_sharded,
+    zeldovich_displacement_sharded,
+    deposit_displacement_sharded,
+    displacement_to_density_sharded,
+    deconvolve_mas_sharded,
+)
 from .linear_pk import eisenstein_hu_pk, sigma_r, normalize_sigma8
 from .grf import gaussian_random_field, white_noise_field
 from .lpt import zeldovich_displacement, displacement_to_density
@@ -46,6 +53,11 @@ __all__ = [
     "cross_power_sharded",
     "transfer_and_correlation_sharded",
     "summary_metrics_sharded",
+    "gaussian_random_field_sharded",
+    "zeldovich_displacement_sharded",
+    "deposit_displacement_sharded",
+    "displacement_to_density_sharded",
+    "deconvolve_mas_sharded",
     "eisenstein_hu_pk",
     "sigma_r",
     "normalize_sigma8",

@@ -42,11 +42,18 @@ def zeldovich_displacement(delta, boxsize: float):
         kz[None, None, :],
     )
     k2 = kvec[0] ** 2 + kvec[1] ** 2 + kvec[2] ** 2
+    # Odd spectral derivatives at the Nyquist plane are sign-ambiguous (the
+    # half-grid conventions of rfftn make the choice depend on which mirror
+    # stores the mode); the canonical choice — also the Hermitian-projected
+    # full-grid result, so the sharded implementation agrees exactly — is to
+    # zero the ik numerator there.  k^2 keeps the Nyquist magnitude.
+    nyq = n // 2 * kf
+    kd = tuple(jnp.where(jnp.abs(k) == nyq, 0.0, k) for k in kvec)
     dk = jnp.fft.rfftn(jnp.asarray(delta, jnp.float32))
     inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
     psi = []
     for d in range(3):
-        psik = (1j * kvec[d]) * inv_k2 * dk
+        psik = (1j * kd[d]) * inv_k2 * dk
         psi.append(jnp.fft.irfftn(psik, s=(n, n, n)).astype(jnp.float32))
     return jnp.stack(psi)
 
