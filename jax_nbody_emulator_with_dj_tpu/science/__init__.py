@@ -22,6 +22,10 @@ from .field_sharded import (
     displacement_to_density_sharded,
     deconvolve_mas_sharded,
 )
+from .stats_sharded import (
+    minkowski_functionals_sharded,
+    reduced_bispectrum_sharded,
+)
 from .linear_pk import eisenstein_hu_pk, sigma_r, normalize_sigma8
 from .grf import gaussian_random_field, white_noise_field
 from .lpt import zeldovich_displacement, displacement_to_density
@@ -58,6 +62,8 @@ __all__ = [
     "deposit_displacement_sharded",
     "displacement_to_density_sharded",
     "deconvolve_mas_sharded",
+    "minkowski_functionals_sharded",
+    "reduced_bispectrum_sharded",
     "eisenstein_hu_pk",
     "sigma_r",
     "normalize_sigma8",
