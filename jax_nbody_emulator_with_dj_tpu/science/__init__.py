@@ -22,6 +22,12 @@ from .field_sharded import (
     displacement_to_density_sharded,
     deconvolve_mas_sharded,
 )
+from .resize_sharded import (
+    upsample_modes_sharded,
+    upsample_fourier_sharded,
+    downsample_average_sharded,
+    gaussian_smooth_sharded,
+)
 from .stats_sharded import (
     minkowski_functionals_sharded,
     reduced_bispectrum_sharded,
@@ -64,6 +70,10 @@ __all__ = [
     "deconvolve_mas_sharded",
     "minkowski_functionals_sharded",
     "reduced_bispectrum_sharded",
+    "upsample_modes_sharded",
+    "upsample_fourier_sharded",
+    "downsample_average_sharded",
+    "gaussian_smooth_sharded",
     "eisenstein_hu_pk",
     "sigma_r",
     "normalize_sigma8",
