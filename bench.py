@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -44,9 +45,13 @@ def main():
                    help="emulate velocities too — the north-star metric is disp+vel "
                         "(baseline: 25.8 s vs 10.9 s disp-only)")
     p.add_argument("--style", action="store_true", help="runtime-style model (no premodulation)")
-    p.add_argument("--runtime", choices=("hierarchical", "subbox"), default="hierarchical",
-                   help="hierarchical = overlap-minimal phase runtime (premodulated "
-                        "models); subbox = classic halo-recompute tiles")
+    p.add_argument("--runtime", choices=("hierarchical", "subbox", "auto"),
+                   default="hierarchical",
+                   help="hierarchical = overlap-minimal phase runtime with the "
+                        "measured geometry table below; auto = the same runtime "
+                        "under geometry.auto_hierarchical_config's planner "
+                        "(chunked fallback when the monolithic buffers cannot "
+                        "fit); subbox = classic halo-recompute tiles")
     p.add_argument("--mid-chan", type=int, default=64)
     p.add_argument("--tile1", type=int, default=None,
                    help="hierarchical phase-2 level-1 tile (default: 128 disp / 64 vel)")
@@ -84,6 +89,12 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from jax_nbody_emulator_with_dj_tpu.utils.platform import (
+        apply_jax_platforms_env,
+    )
+
+    apply_jax_platforms_env()
 
     # Persistent compile cache: geometry sweeps re-run this script many
     # times; unchanged phase programs then reload instead of recompiling
@@ -127,8 +138,31 @@ def main():
 
     size = (args.size,) * 3
     # Style models ride the hierarchical runtime too (per-call style fold).
-    use_hier = args.runtime == "hierarchical"
-    if use_hier:
+    use_hier = args.runtime in ("hierarchical", "auto")
+    if args.runtime == "auto":
+        from jax_nbody_emulator_with_dj_tpu.chunked import (
+            ChunkedHierarchicalConfig,
+            ChunkedHierarchicalProcessor,
+        )
+        from jax_nbody_emulator_with_dj_tpu.geometry import (
+            auto_hierarchical_config,
+        )
+        from jax_nbody_emulator_with_dj_tpu.hierarchical import (
+            HierarchicalProcessor,
+        )
+
+        acfg = auto_hierarchical_config(
+            size, dtype=jnp.dtype(args.dtype), compute_vel=compute_vel,
+        )
+        chunked_auto = isinstance(acfg, ChunkedHierarchicalConfig)
+        chunks = args.chunks = list(acfg.chunks) if chunked_auto else None
+        proc = (
+            ChunkedHierarchicalProcessor(model, params, acfg)
+            if chunked_auto
+            else HierarchicalProcessor(model, params, acfg)
+        )
+        print(f"# auto geometry: {acfg}", file=sys.stderr)
+    elif use_hier:
         from jax_nbody_emulator_with_dj_tpu.hierarchical import (
             HierarchicalConfig,
             HierarchicalProcessor,
@@ -287,7 +321,6 @@ def main():
         times.append(time.perf_counter() - t0)
         del b
         if args.profile and use_hier:
-            import sys
             print({k: round(v, 3) for k, v in proc.last_timings.items()},
                   file=sys.stderr)
 
