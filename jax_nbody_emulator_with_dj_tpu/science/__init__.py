@@ -48,6 +48,7 @@ from .resize import (
 from .halofit import halofit_pk
 from .halos import (
     friends_of_friends,
+    friends_of_friends_slabbed,
     positions_from_displacement,
     empirical_hmf,
     tinker08_hmf,
@@ -92,6 +93,7 @@ __all__ = [
     "resize_density_grid",
     "halofit_pk",
     "friends_of_friends",
+    "friends_of_friends_slabbed",
     "positions_from_displacement",
     "empirical_hmf",
     "tinker08_hmf",

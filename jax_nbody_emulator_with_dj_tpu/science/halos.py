@@ -236,6 +236,176 @@ def friends_of_friends(
     }
 
 
+def friends_of_friends_slabbed(
+    psi,
+    boxsize: float,
+    linking_length: float,
+    nmin: int = 20,
+    n_slabs: int = 8,
+    chunk: int = 4_000_000,
+    return_labels: bool = False,
+):
+    """Memory-bounded FoF: Eulerian x-slab streaming with ghost-zone merges.
+
+    The same decomposition strategy as the reference's MPI pipeline
+    (``halos.py:352-465`` there: rank-per-x-slab nbodykit FoF), run
+    sequentially on one host so peak memory is one slab (+2 ghost layers)
+    instead of all Np positions: each Eulerian slab ``[x0, x1)`` is
+    extended by one linking length per side, FoF'd locally with the
+    cell-hash finder (all groups kept), and groups of adjacent slabs are
+    merged through the particles their ghost zones share — every
+    cross-boundary link has both endpoints within ``b`` of the boundary,
+    so the run on either side sees it.  Group statistics (multiplicity,
+    periodic CM) accumulate per *owned* particle only and ``nmin`` is
+    applied after the merge, so a halo straddling a boundary is counted
+    once, with its full mass.
+
+    Args:
+        psi: (3, N, N, N) displacement [Mpc/h] — ``np.ndarray`` or
+            ``np.memmap`` (only x-row blocks are materialized).
+        n_slabs: number of Eulerian slabs; ``boxsize/n_slabs`` must be
+            >= 2 linking lengths so ghost zones only touch neighbors.
+        return_labels: also build the full (N^3,) label array (needs
+            4 B/particle — leave False at production sizes).
+
+    Returns:
+        dict with 'lengths', 'centers', 'n_groups' (and 'labels' when
+        requested), identical (up to group ordering) to
+        ``friends_of_friends`` on the full particle set.
+    """
+    n = psi[0].shape[0]
+    L = float(boxsize)
+    b = float(linking_length)
+    if n_slabs < 1:
+        raise ValueError("n_slabs must be >= 1")
+    slab_w = L / n_slabs
+    if n_slabs > 1 and slab_w < 2 * b:
+        raise ValueError(
+            f"slab width {slab_w:.3f} < 2 linking lengths {2 * b:.3f}: "
+            f"reduce n_slabs"
+        )
+    q1 = np.arange(n, dtype=np.float32) * (L / n)
+
+    def slab_subset(x0: float, width: float):
+        """Positions+gids of particles with x in [x0, x0+width) mod L."""
+        pos_parts, gid_parts = [], []
+        rows = max(1, int(chunk // (n * n)))
+        for r0 in range(0, n, rows):
+            r1 = min(r0 + rows, n)
+            px = np.mod(
+                q1[r0:r1, None, None] + np.asarray(psi[0][r0:r1], np.float32), L
+            )
+            sel = np.mod(px - x0, L) < width
+            if not sel.any():
+                continue
+            py = np.mod(
+                q1[None, :, None] + np.asarray(psi[1][r0:r1], np.float32), L
+            )
+            pz = np.mod(
+                q1[None, None, :] + np.asarray(psi[2][r0:r1], np.float32), L
+            )
+            gid = (
+                (np.arange(r0, r1, dtype=np.int64)[:, None, None] * n
+                 + np.arange(n, dtype=np.int64)[None, :, None]) * n
+                + np.arange(n, dtype=np.int64)[None, None, :]
+            )
+            pos_parts.append(
+                np.stack([px[sel], py[sel], pz[sel]], axis=-1)
+            )
+            gid_parts.append(gid[sel])
+        if not pos_parts:
+            return np.zeros((0, 3), np.float32), np.zeros(0, np.int64)
+        return np.concatenate(pos_parts), np.concatenate(gid_parts)
+
+    if n_slabs == 1:
+        pos, gid = slab_subset(0.0, L)
+        res = friends_of_friends(pos, L, b, nmin=nmin, chunk=chunk)
+        if return_labels:
+            labels = np.empty(n**3, np.int32)
+            labels[gid] = res["labels"]
+            res["labels"] = labels
+        else:
+            res.pop("labels")
+        return res
+
+    # Per-slab runs: group nodes are numbered globally across slabs.
+    node_off = [0]
+    len_parts, cs_parts, sn_parts = [], [], []
+    shared = {}  # boundary index -> list of (gids, node_ids) from both sides
+    owned_records = []  # (gids_owned, node_ids_owned) when return_labels
+    two_pi = 2 * np.pi / L
+    for s in range(n_slabs):
+        x0 = s * slab_w
+        pos, gid = slab_subset(np.float32((x0 - b) % L), slab_w + 2 * b)
+        sub = friends_of_friends(pos, L, b, nmin=1, chunk=chunk)
+        nodes = node_off[-1] + sub["labels"].astype(np.int64)
+        node_off.append(node_off[-1] + sub["n_groups"])
+        own = np.mod(pos[:, 0] - x0, L) < slab_w
+        cnt = np.bincount(
+            nodes[own] - node_off[-2], minlength=sub["n_groups"]
+        ).astype(np.int64)
+        len_parts.append(cnt)
+        cs = np.zeros((sub["n_groups"], 3))
+        sn = np.zeros((sub["n_groups"], 3))
+        ang = pos[own].astype(np.float64) * two_pi
+        np.add.at(cs, nodes[own] - node_off[-2], np.cos(ang))
+        np.add.at(sn, nodes[own] - node_off[-2], np.sin(ang))
+        cs_parts.append(cs)
+        sn_parts.append(sn)
+        if return_labels:
+            owned_records.append((gid[own], nodes[own]))
+        # ghost zones: low boundary s, high boundary (s+1) % n_slabs
+        for bidx, zone_start in ((s, (x0 - b) % L), ((s + 1) % n_slabs, (x0 + slab_w - b) % L)):
+            z = np.mod(pos[:, 0] - zone_start, L) < 2 * b
+            shared.setdefault(bidx, []).append((gid[z], nodes[z]))
+        del pos, gid, sub, nodes
+
+    total_nodes = node_off[-1]
+    parent = np.arange(total_nodes, dtype=np.int64)
+    for bidx, sides in shared.items():
+        if len(sides) != 2:
+            continue
+        (g1, n1), (g2, n2) = sides
+        o1 = np.argsort(g1, kind="stable")
+        o2 = np.argsort(g2, kind="stable")
+        if len(g1) != len(g2) or not np.array_equal(g1[o1], g2[o2]):
+            # particles within fp rounding of a zone edge may appear on
+            # one side only; intersect instead of assuming identical sets
+            common, i1, i2 = np.intersect1d(g1, g2, return_indices=True)
+            _union_batch(parent, n1[i1], n2[i2])
+            continue
+        _union_batch(parent, n1[o1], n2[o2])
+
+    roots = _find_roots(parent, np.arange(total_nodes, dtype=np.int64))
+    uniq_roots, comp = np.unique(roots, return_inverse=True)
+    n_comp = len(uniq_roots)
+    lengths = np.zeros(n_comp, np.int64)
+    np.add.at(lengths, comp, np.concatenate(len_parts))
+    cs_all = np.zeros((n_comp, 3))
+    sn_all = np.zeros((n_comp, 3))
+    np.add.at(cs_all, comp, np.concatenate(cs_parts))
+    np.add.at(sn_all, comp, np.concatenate(sn_parts))
+
+    keep = lengths >= nmin
+    group_ids = np.nonzero(keep)[0]
+    mean_ang = np.arctan2(sn_all[group_ids], cs_all[group_ids])
+    centers = np.mod(mean_ang / (2 * np.pi), 1.0) * L
+
+    out = {
+        "lengths": lengths[group_ids],
+        "centers": centers.astype(np.float32),
+        "n_groups": int(len(group_ids)),
+    }
+    if return_labels:
+        remap = -np.ones(n_comp, np.int64)
+        remap[group_ids] = np.arange(len(group_ids))
+        labels = np.empty(n**3, np.int32)
+        for g, nd in owned_records:
+            labels[g] = remap[comp[nd]].astype(np.int32)
+        out["labels"] = labels
+    return out
+
+
 def particle_mass_msun_h(boxsize: float, n_part: int, Om: float) -> float:
     """Mass of one grid particle [M_sun/h] (reference halos.py:345-349)."""
     return RHO_CRIT * Om * boxsize**3 / n_part**3

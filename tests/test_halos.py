@@ -6,6 +6,7 @@ import pytest
 from jax_nbody_emulator_with_dj_tpu.science.halos import (
     empirical_hmf,
     friends_of_friends,
+    friends_of_friends_slabbed,
     particle_mass_msun_h,
     positions_from_displacement,
     tinker08_hmf,
@@ -178,3 +179,111 @@ class TestFoFAgainstKDTree:
         pos = positions_from_displacement(psi, boxsize=100.0)
         b = 0.2 * (100.0 / n)
         self._compare(pos, 100.0, b=b, nmin=5)
+
+
+class TestFoFSlabbed:
+    """Slab-streamed FoF must reproduce the monolithic finder exactly."""
+
+    @staticmethod
+    def _canonical(labels):
+        """Map each group label to the smallest particle id it contains."""
+        lab = np.asarray(labels, np.int64)
+        out = -np.ones(len(lab), np.int64)
+        grouped = lab >= 0
+        if grouped.any():
+            nmax = lab[grouped].max() + 1
+            first = np.full(nmax, np.iinfo(np.int64).max)
+            np.minimum.at(first, lab[grouped], np.nonzero(grouped)[0])
+            out[grouped] = first[lab[grouped]]
+        return out
+
+    @staticmethod
+    def _psi_grf(n, boxsize, seed=3):
+        import jax
+
+        from jax_nbody_emulator_with_dj_tpu.science.grf import (
+            gaussian_random_field,
+        )
+        from jax_nbody_emulator_with_dj_tpu.science.linear_pk import (
+            eisenstein_hu_pk,
+        )
+        from jax_nbody_emulator_with_dj_tpu.science.lpt import (
+            zeldovich_displacement,
+        )
+
+        k = np.logspace(-3, 1.5, 128)
+        p = eisenstein_hu_pk(
+            k, Om=0.3175, Ob=0.049, h=0.6711, ns=0.9624, sigma8=0.834
+        )
+        d = gaussian_random_field(jax.random.key(seed), n, boxsize, k, p)
+        return np.asarray(zeldovich_displacement(d, boxsize))
+
+    @pytest.mark.parametrize("n_slabs", [2, 3, 5])
+    def test_matches_monolithic_grf(self, n_slabs):
+        n, box = 24, 60.0
+        psi = self._psi_grf(n, box)
+        b = 0.2 * box / n
+        pos = positions_from_displacement(psi, box)
+        ref = friends_of_friends(pos, box, b, nmin=5)
+        got = friends_of_friends_slabbed(
+            psi, box, b, nmin=5, n_slabs=n_slabs, return_labels=True
+        )
+        assert got["n_groups"] == ref["n_groups"]
+        np.testing.assert_array_equal(
+            self._canonical(got["labels"]), self._canonical(ref["labels"])
+        )
+        # per-group stats compared through the canonical (min-gid) key
+        for res in (ref, got):
+            res["_key"] = self._canonical(res["labels"])
+        for gid_key in np.unique(ref["_key"][ref["_key"] >= 0]):
+            li = ref["labels"][gid_key]
+            lj = got["labels"][gid_key]
+            assert ref["lengths"][li] == got["lengths"][lj]
+            np.testing.assert_allclose(
+                ref["centers"][li], got["centers"][lj], rtol=1e-5, atol=1e-4
+            )
+
+    def test_group_spanning_every_boundary(self):
+        """psi = 0, b > grid spacing: the whole box is ONE group, crossing
+        every slab boundary; nmin must apply to the merged multiplicity."""
+        n, box = 12, 36.0
+        psi = np.zeros((3, n, n, n), np.float32)
+        got = friends_of_friends_slabbed(
+            psi, box, 1.2 * box / n, nmin=n**3, n_slabs=4
+        )
+        assert got["n_groups"] == 1
+        assert got["lengths"][0] == n**3
+
+    def test_single_slab_degenerates_to_monolithic(self):
+        n, box = 16, 40.0
+        psi = self._psi_grf(n, box, seed=7)
+        b = 0.2 * box / n
+        pos = positions_from_displacement(psi, box)
+        ref = friends_of_friends(pos, box, b, nmin=3)
+        got = friends_of_friends_slabbed(
+            psi, box, b, nmin=3, n_slabs=1, return_labels=True
+        )
+        assert got["n_groups"] == ref["n_groups"]
+        np.testing.assert_array_equal(
+            self._canonical(got["labels"]), self._canonical(ref["labels"])
+        )
+
+    def test_rejects_too_many_slabs(self):
+        psi = np.zeros((3, 8, 8, 8), np.float32)
+        with pytest.raises(ValueError, match="slab width"):
+            friends_of_friends_slabbed(psi, 8.0, 2.0, n_slabs=4)
+
+    def test_memmap_input(self, tmp_path):
+        n, box = 16, 40.0
+        psi = self._psi_grf(n, box, seed=9)
+        f = tmp_path / "psi.npy"
+        np.save(f, psi)
+        mm = np.load(f, mmap_mode="r")
+        b = 0.2 * box / n
+        got = friends_of_friends_slabbed(mm, box, b, nmin=3, n_slabs=2)
+        pos = positions_from_displacement(psi, box)
+        ref = friends_of_friends(pos, box, b, nmin=3)
+        assert got["n_groups"] == ref["n_groups"]
+        np.testing.assert_array_equal(
+            np.sort(got["lengths"]), np.sort(ref["lengths"])
+        )
