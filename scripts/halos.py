@@ -31,6 +31,11 @@ def main():
     p.add_argument("--z", type=float, default=0.0)
     p.add_argument("--linking-length", type=float, default=0.2, help="in mean interparticle spacings")
     p.add_argument("--nmin", type=int, default=20)
+    p.add_argument("--n-slabs", type=int, default=1,
+                   help=">1 streams Eulerian x-slabs through the FoF "
+                        "(memory-bounded: one slab + ghosts resident; the "
+                        "displacement file is memory-mapped) — the single-"
+                        "host analog of the reference's MPI slab ranks")
     p.add_argument("--out-dir", type=str, default="runs/halos")
     p.add_argument("--plot-only", action="store_true", help="re-plot from saved catalog")
     p.add_argument("--plots", action=argparse.BooleanOptionalAction, default=True)
@@ -42,6 +47,7 @@ def main():
     from jax_nbody_emulator_with_dj_tpu.science.halos import (
         empirical_hmf,
         friends_of_friends,
+        friends_of_friends_slabbed,
         particle_mass_msun_h,
         positions_from_displacement,
         tinker08_hmf,
@@ -54,12 +60,19 @@ def main():
         meta = json.loads((out_dir / "fof_summary.json").read_text())
         n_part = meta["n_part"]
     else:
-        psi = np.load(args.displacement)
+        psi = np.load(args.displacement, mmap_mode="r" if args.n_slabs > 1 else None)
         n_part = psi.shape[1]
-        pos = positions_from_displacement(psi, args.boxsize)
         b_abs = args.linking_length * args.boxsize / n_part
-        print(f"FoF over {len(pos):,} particles, b = {b_abs:.4f} Mpc/h ...", flush=True)
-        fof = friends_of_friends(pos, args.boxsize, b_abs, nmin=args.nmin)
+        print(f"FoF over {n_part**3:,} particles, b = {b_abs:.4f} Mpc/h "
+              f"({args.n_slabs} slab{'s' if args.n_slabs > 1 else ''}) ...",
+              flush=True)
+        if args.n_slabs > 1:
+            fof = friends_of_friends_slabbed(
+                psi, args.boxsize, b_abs, nmin=args.nmin, n_slabs=args.n_slabs
+            )
+        else:
+            pos = positions_from_displacement(psi, args.boxsize)
+            fof = friends_of_friends(pos, args.boxsize, b_abs, nmin=args.nmin)
         lengths, centers = fof["lengths"], fof["centers"]
         np.savez(cat_path, lengths=lengths, centers=centers)
         meta = {

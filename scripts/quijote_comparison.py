@@ -135,16 +135,32 @@ def main():
     # ---- metrics ----------------------------------------------------------
     if args.mesh and int(np.prod(args.mesh)) > 1:
         from jax_nbody_emulator_with_dj_tpu.parallel import make_mesh
-        from jax_nbody_emulator_with_dj_tpu.science import summary_metrics_sharded
+        from jax_nbody_emulator_with_dj_tpu.science import (
+            minkowski_functionals_sharded,
+            reduced_bispectrum_sharded,
+            summary_metrics_sharded,
+        )
 
         mesh = make_mesh(tuple(args.mesh))
 
         def metric_fn(a, b):
             return summary_metrics_sharded(a, b, mesh, args.boxsize, kmax=args.kmax)
+
+        def bispec_fn(f, k1, k2, thetas):
+            return reduced_bispectrum_sharded(f, mesh, args.boxsize, k1, k2, thetas)
+
+        def mink_fn(f, ts):
+            return minkowski_functionals_sharded(f, ts, mesh)
     else:
 
         def metric_fn(a, b):
             return summary_metrics(a, b, args.boxsize, kmax=args.kmax)
+
+        def bispec_fn(f, k1, k2, thetas):
+            return reduced_bispectrum(f, args.boxsize, k1, k2, thetas)
+
+        def mink_fn(f, ts):
+            return minkowski_functionals(f, ts)
 
     metrics = {
         "emulator_vs_target": metric_fn(delta_emu, target),
@@ -209,7 +225,7 @@ def main():
     fig, axes = plt.subplots(1, 2, figsize=(11, 4.5))
     for ax, (k1, k2) in zip(axes, [(0.1, 0.1), (0.05, 0.1)]):
         for f, label in [(target, "target"), (delta_emu, "emulator")]:
-            out = reduced_bispectrum(f, args.boxsize, k1, k2, thetas)
+            out = bispec_fn(f, k1, k2, thetas)
             ax.plot(thetas, out["Q"], label=label)
         ax.set_title(f"k1={k1}, k2={k2}"); ax.set_xlabel(r"$\theta$"); ax.set_ylabel("Q")
         ax.legend()
@@ -222,7 +238,7 @@ def main():
     ts = np.linspace(-2, 4, 25) * sigma
     fig, axes = plt.subplots(1, 4, figsize=(16, 4))
     for f, label in [(target, "target"), (delta_emu, "emulator")]:
-        mf = np.asarray(minkowski_functionals(f, ts))
+        mf = np.asarray(mink_fn(f, ts))
         for i, ax in enumerate(axes):
             ax.plot(ts / sigma, mf[:, i], label=label)
     for i, (ax, name) in enumerate(zip(axes, ["V0", "V1", "V2", "V3"])):

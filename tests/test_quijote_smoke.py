@@ -60,3 +60,42 @@ def test_quijote_comparison_end_to_end(tmp_path):
     # plot files from the diagnostics pass
     pngs = list(out_dir.glob("*.png"))
     assert pngs, f"no plots written in {out_dir}: {list(out_dir.iterdir())}"
+
+
+@pytest.mark.slow
+def test_quijote_comparison_mesh_mode(tmp_path):
+    """--mesh routes every diagnostic (metrics, bispectrum, Minkowski)
+    through the sharded estimators on the virtual CPU mesh."""
+    rng = np.random.default_rng(1)
+    n = 16
+    np.save(tmp_path / "ic.npy", rng.normal(0, 1.0, size=(n, n, n)).astype(np.float32))
+    np.save(tmp_path / "target.npy", rng.normal(0, 1.2, size=(n, n, n)).astype(np.float32))
+    out_dir = tmp_path / "out"
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(ROOT / "scripts" / "quijote_comparison.py"),
+            "--ic-delta", str(tmp_path / "ic.npy"),
+            "--target-delta", str(tmp_path / "target.npy"),
+            "--n-part", str(n),
+            "--boxsize", "250.0",
+            "--ndiv", "1", "1", "1",
+            "--precision", "f32",
+            "--random-params",
+            "--mid-chan", "4",
+            "--mesh", "2", "2", "2",
+            "--out-dir", str(out_dir),
+        ],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    meta = json.loads((out_dir / "metadata.json").read_text())
+    m = meta["metrics"]["emulator_vs_target"]
+    for key in ("rmse", "pearson_r", "median_abs_T_minus_1"):
+        assert key in m and np.isfinite(m[key])
+    assert (out_dir / "bispectrum.png").exists()
+    assert (out_dir / "minkowski.png").exists()
