@@ -68,6 +68,7 @@ def run_lpt_emulator_pipeline(
     premodulate: bool = True,
     compute_vel: bool = True,
     ndiv: tuple = (4, 4, 8),
+    runtime: str = "subbox",
     precision: str = "bf16",
     output_dtype=np.float32,
     mas_worder: int = 2,
@@ -96,7 +97,11 @@ def run_lpt_emulator_pipeline(
         params / load_params: emulator weights (see ``create_emulator``).
         premodulate: fold style at (z, Om) (production default).
         compute_vel: also emulate velocities.
-        ndiv: subbox decomposition of the emulation run.
+        ndiv: subbox decomposition of the emulation run (``runtime="subbox"``).
+        runtime: 'subbox' (reference semantics, uses ``ndiv``) or 'auto'
+            (the overlap-minimal hierarchical runtime under
+            ``geometry.auto_hierarchical_config`` — measured-fitting
+            geometry, chunked fallback; ``ndiv`` is ignored).
         precision: 'bf16' | 'f16' | 'f32' compute dtype.
         mas_worder / deconvolve: density deposition settings.
         density_res: density diagnostic mesh (default n_part).
@@ -157,9 +162,20 @@ def run_lpt_emulator_pipeline(
 
     # --- 3. Emulator ------------------------------------------------------
     t0 = time.perf_counter()
-    sb = SubboxConfig(
-        size=(n_part,) * 3, ndiv=tuple(ndiv), dtype=dtype, output_dtype=output_dtype,
-    )
+    if runtime == "auto":
+        from .geometry import auto_hierarchical_config
+
+        sb = auto_hierarchical_config(
+            (n_part,) * 3, dtype=dtype, compute_vel=compute_vel,
+            output_dtype=np.dtype(output_dtype),
+        )
+    elif runtime == "subbox":
+        sb = SubboxConfig(
+            size=(n_part,) * 3, ndiv=tuple(ndiv), dtype=dtype,
+            output_dtype=output_dtype,
+        )
+    else:
+        raise ValueError(f"runtime must be 'subbox' or 'auto', got {runtime!r}")
     emulator = create_emulator(
         premodulate=premodulate,
         compute_vel=compute_vel,
@@ -209,6 +225,7 @@ def run_lpt_emulator_pipeline(
         "premodulate": premodulate,
         "compute_vel": compute_vel,
         "ndiv": list(ndiv),
+        "runtime": runtime,
         "precision": precision,
         "mas_worder": mas_worder,
         "deconvolve": deconvolve,

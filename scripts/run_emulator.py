@@ -42,6 +42,9 @@ def parse_args():
     p.add_argument("--ns", type=float, default=0.9624)
     p.add_argument("--sigma8", type=float, default=0.834)
     p.add_argument("--ndiv", type=int, nargs=3, default=(2, 2, 2))
+    p.add_argument("--runtime", choices=("subbox", "auto"), default="subbox",
+                   help="auto = overlap-minimal hierarchical runtime with "
+                        "planner-chosen geometry (ndiv ignored)")
     p.add_argument("--precision", choices=("bf16", "f16", "f32"), default="bf16")
     p.add_argument("--no-style", dest="premodulate", action="store_true",
                    help="premodulate (fixed cosmology) instead of runtime style")
@@ -180,6 +183,7 @@ def main():
         premodulate=args.premodulate,
         compute_vel=args.compute_vel,
         ndiv=tuple(args.ndiv),
+        runtime=args.runtime,
         precision=args.precision,
         mas_worder=args.mas_worder,
         deconvolve=args.deconvolve,

@@ -119,3 +119,28 @@ class TestPipeline:
         # 2x P(k) -> sqrt(2)x field amplitude for the same seed
         ratio = res_tab.delta_lin.std() / res_eh.delta_lin.std()
         assert np.isclose(ratio, np.sqrt(2.0), rtol=0.05)
+
+    @pytest.mark.slow
+    def test_auto_runtime_matches_subbox(self, params):
+        """runtime='auto' (planner-chosen hierarchical geometry) must give
+        the same emulated displacement as the subbox runtime."""
+        common = dict(
+            seed=5, n_part=16, boxsize=1000.0, z=0.0, params=params,
+            load_params=False, precision="f32", compute_vel=False,
+            mid_chan=4,
+        )
+        res_sub = run_lpt_emulator_pipeline(ndiv=(1, 1, 1), **common)
+        res_auto = run_lpt_emulator_pipeline(runtime="auto", **common)
+        assert res_auto.metadata["runtime"] == "auto"
+        ref = np.asarray(res_sub.psi_emu, np.float32)
+        np.testing.assert_allclose(
+            np.asarray(res_auto.psi_emu, np.float32), ref,
+            rtol=1e-3, atol=1e-3 * float(np.abs(ref).std()),
+        )
+
+    def test_bad_runtime_rejected(self, params):
+        with pytest.raises(ValueError, match="runtime"):
+            run_lpt_emulator_pipeline(
+                seed=1, n_part=16, params=params, load_params=False,
+                runtime="warp", precision="f32", compute_vel=False, mid_chan=4,
+            )
