@@ -39,6 +39,9 @@ def parse_args():
     p.add_argument("--cosmo-json", type=str, default=None,
                    help="JSON file mapping input basename -> {z, Om} (overrides --z/--Om)")
     p.add_argument("--ndiv", type=int, nargs=3, default=(4, 4, 8))
+    p.add_argument("--runtime", choices=("subbox", "auto"), default="subbox",
+                   help="auto = overlap-minimal hierarchical runtime with "
+                        "planner-chosen geometry (ndiv ignored)")
     p.add_argument("--precision", choices=("bf16", "f16", "f32"), default="bf16")
     p.add_argument("--output-dtype", choices=("f16", "f32"), default="f32")
     p.add_argument("--compute-vel", action=argparse.BooleanOptionalAction, default=True)
@@ -117,7 +120,17 @@ def main():
 
         emu_key = ("style", n) if args.style else (z, om, n)
         if emu_key not in emulators:
-            cfg = SubboxConfig(size=(n,) * 3, ndiv=tuple(args.ndiv), dtype=dtype, output_dtype=out_dtype)
+            if args.runtime == "auto":
+                from jax_nbody_emulator_with_dj_tpu import (
+                    auto_hierarchical_config,
+                )
+
+                cfg = auto_hierarchical_config(
+                    (n,) * 3, dtype=dtype, compute_vel=args.compute_vel,
+                    output_dtype=out_dtype,
+                )
+            else:
+                cfg = SubboxConfig(size=(n,) * 3, ndiv=tuple(args.ndiv), dtype=dtype, output_dtype=out_dtype)
             emulators[emu_key] = create_emulator(
                 premodulate=not args.style,
                 compute_vel=args.compute_vel,

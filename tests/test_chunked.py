@@ -158,3 +158,42 @@ class TestChunkedConfig:
         proc = ChunkedHierarchicalProcessor(model, params, cfg)
         with pytest.raises(ValueError, match="box shape"):
             proc.process_box(np.zeros((3, 16, 16, 16), np.float32), 0.5, 0.3175)
+
+
+class TestChunkedContracts:
+    """Runtime contracts the reference pins for its subbox processor
+    (``/root/reference/tests/test_subbox.py:320-340``): determinism and
+    input immutability, here for the chunked runtime (whose pipelined
+    fetch and donated inner runs make both worth guarding)."""
+
+    @pytest.fixture(scope="class")
+    def proc(self, style_params):
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=MID)
+        cfg = ChunkedHierarchicalConfig(
+            size=(N,) * 3, chunks=(2, 1, 1),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        return ChunkedHierarchicalProcessor(model, params, cfg)
+
+    def test_deterministic(self, proc, box):
+        a = proc.process_box(box, 0.5, 0.3175)
+        b = proc.process_box(box, 0.5, 0.3175)
+        np.testing.assert_array_equal(a, b)
+
+    def test_input_immutable(self, proc, box):
+        before = box.copy()
+        proc.process_box(box, 0.5, 0.3175)
+        np.testing.assert_array_equal(box, before)
+
+    def test_device_input_survives_donated_chunks(self, proc, box):
+        """The global device box must stay valid across chunk runs (each
+        CHUNK is donated, never the global input)."""
+        dev = jnp.asarray(box)
+        proc.process_box(dev, 0.5, 0.3175, as_numpy=False)
+        np.testing.assert_array_equal(np.asarray(dev), box)
+
+    def test_profile_timings_cover_all_phases(self, proc, box):
+        proc.process_box(box, 0.5, 0.3175, profile=True)
+        assert {"phase1", "phase3"} <= set(proc.last_timings)
+        assert all(v >= 0 for v in proc.last_timings.values())
