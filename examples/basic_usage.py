@@ -18,6 +18,11 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+from jax_nbody_emulator_with_dj_tpu.utils.platform import apply_jax_platforms_env
+
+apply_jax_platforms_env()  # honor JAX_PLATFORMS even with pre-registered plugins
+
 import jax.numpy as jnp
 
 from jax_nbody_emulator_with_dj_tpu import (
@@ -89,6 +94,16 @@ def main():
     proc = ShardedBoxProcessor(model, params, mesh, cfg)
     d, v = proc.process_box(box, z=0.5, Om=0.3)
     print(f"[5] sharded process_box on mesh {dict(mesh.shape)}: disp {d.shape}")
+
+    # ---------------------------------------------------------------
+    # Example 6: planner-chosen geometry — the production single-chip path
+    # ---------------------------------------------------------------
+    from jax_nbody_emulator_with_dj_tpu import auto_hierarchical_config
+
+    acfg = auto_hierarchical_config(512, compute_vel=True)  # fits 16 GB
+    print(f"[6] auto geometry for 512^3 vel: slab {acfg.slab}, tile "
+          f"{acfg.tile}, tile1 {acfg.tile1} "
+          f"(pass as processor_config= to create_emulator)")
 
 
 if __name__ == "__main__":
