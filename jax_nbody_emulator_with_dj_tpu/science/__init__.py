@@ -41,6 +41,7 @@ from .bispectrum import reduced_bispectrum
 from .resize import (
     upsample_modes,
     upsample_fourier,
+    upsample_linear,
     downsample_average,
     gaussian_smooth,
     resize_density_grid,
@@ -88,6 +89,7 @@ __all__ = [
     "reduced_bispectrum",
     "upsample_modes",
     "upsample_fourier",
+    "upsample_linear",
     "downsample_average",
     "gaussian_smooth",
     "resize_density_grid",

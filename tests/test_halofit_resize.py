@@ -95,3 +95,50 @@ class TestGaussianSmooth:
         assert float(jnp.var(s)) < 0.7 * float(jnp.var(f))
         # mean preserved
         assert np.isclose(float(jnp.mean(s)), float(jnp.mean(f)), atol=1e-5)
+
+
+class TestLinearUpsample:
+    def test_grid_points_exact(self):
+        """Integer-factor trilinear interpolation passes through samples."""
+        from jax_nbody_emulator_with_dj_tpu.science.resize import upsample_linear
+
+        rng = np.random.default_rng(0)
+        coarse = rng.normal(size=(8, 8, 8)).astype(np.float32)
+        fine = np.asarray(upsample_linear(coarse, 16))
+        np.testing.assert_allclose(fine[::2, ::2, ::2], coarse, atol=1e-6)
+
+    def test_midpoints_are_averages(self):
+        from jax_nbody_emulator_with_dj_tpu.science.resize import upsample_linear
+
+        rng = np.random.default_rng(1)
+        coarse = rng.normal(size=(8, 8, 8)).astype(np.float32)
+        fine = np.asarray(upsample_linear(coarse, 16))
+        # midpoint along z = average of the two bracketing samples,
+        # including the periodic wrap at the high edge
+        expect = 0.5 * (coarse + np.roll(coarse, -1, axis=2))
+        np.testing.assert_allclose(fine[::2, ::2, 1::2], expect, atol=1e-6)
+
+    def test_linear_plane_reproduced(self):
+        """A linear (periodic sawtooth-free) ramp interpolates exactly."""
+        from jax_nbody_emulator_with_dj_tpu.science.resize import upsample_linear
+
+        n = 8
+        ramp = np.broadcast_to(
+            np.sin(2 * np.pi * np.arange(n) / n)[:, None, None], (n, n, n)
+        ).astype(np.float32)
+        fine = np.asarray(upsample_linear(ramp, 32))
+        # exact at original sample planes
+        np.testing.assert_allclose(fine[::4, ::4, ::4], ramp, atol=1e-6)
+        # monotone interpolation between them on the rising half
+        assert np.all(np.diff(fine[:8, 0, 0]) > 0)
+
+    def test_damps_high_k(self):
+        """Linear interpolation loses small-scale power vs Fourier mode."""
+        k_t = jnp.logspace(-3, 1.5, 64)
+        p_t = eisenstein_hu_pk(k_t)
+        from jax_nbody_emulator_with_dj_tpu.science.resize import upsample_linear
+
+        coarse = gaussian_random_field(jax.random.key(5), 16, 100.0, k_t, p_t)
+        lin = upsample_linear(coarse, 32)
+        four = upsample_fourier(coarse, 32)
+        assert float(jnp.var(lin)) < float(jnp.var(four))
