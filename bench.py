@@ -153,9 +153,35 @@ def main():
 
         acfg = auto_hierarchical_config(
             size, dtype=jnp.dtype(args.dtype), compute_vel=compute_vel,
+            mid_chan=args.mid_chan,
         )
         chunked_auto = isinstance(acfg, ChunkedHierarchicalConfig)
         chunks = args.chunks = list(acfg.chunks) if chunked_auto else None
+        if chunked_auto and not args.host_input:
+            # The planner certifies only the INNER run against HBM; a
+            # device-resident global box + output buffers come on top.
+            # When they don't leave room, fall back to host staging (the
+            # chunked runtime's raison d'etre is exactly these sizes).
+            from jax_nbody_emulator_with_dj_tpu.geometry import (
+                estimate_peak_bytes,
+            )
+
+            nbuf = 2 if compute_vel else 1
+            resident = (
+                3 * int(np.prod(size)) * jnp.dtype(args.dtype).itemsize
+                + nbuf * 3 * int(np.prod(size)) * 2  # fp16 outputs
+            )
+            inner_peak = estimate_peak_bytes(
+                acfg.inner_config(), compute_vel, args.mid_chan
+            )
+            if resident + inner_peak > int(0.88 * (16 << 30)):
+                args.host_input = True
+                print(
+                    "# auto: device-resident box+outputs "
+                    f"({resident / 2**30:.1f} GiB) + inner working set "
+                    "exceed HBM -> --host-input enabled",
+                    file=sys.stderr,
+                )
         proc = (
             ChunkedHierarchicalProcessor(model, params, acfg)
             if chunked_auto
@@ -344,7 +370,13 @@ def main():
         "all_runs_s": [round(t, 3) for t in times],
         "device": str(dev),
         "dtype": args.dtype,
-        "runtime": "hierarchical" if use_hier else "subbox",
+        "runtime": (
+            ("chunked" if chunked else "hierarchical")
+            if use_hier
+            else "subbox"
+        ),
+        "geometry": "auto" if args.runtime == "auto" else "manual",
+        "chunks": list(chunks) if chunked else None,
         "ndiv": None if use_hier else list(args.ndiv),
     }
     if args.profile and use_hier and getattr(proc, "last_timings", None):

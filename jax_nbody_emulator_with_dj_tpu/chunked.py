@@ -231,13 +231,18 @@ class ChunkedHierarchicalProcessor:
         # async; the blocking point is the output readback below).  Only
         # ONE inner run is ever in flight — overlapping two would double
         # the phase buffers, defeating the runtime's purpose — so the
-        # extra residency is a single input chunk.
+        # extra residency is a single input chunk.  Prefetch only when a
+        # blocking readback exists (host assembly): in the all-device path
+        # nothing blocks, so an early _extract would just execute while
+        # chunk i's uncropped outputs are still live and raise peak HBM.
+        prefetch = as_numpy
         chunk = fetch(anchors[0])
         for ci, a in enumerate(anchors):
             res = self.inner.process_box(
                 chunk, z, Om, as_numpy=False, profile=profile, donate_input=True
             )
-            chunk = fetch(anchors[ci + 1]) if ci + 1 < len(anchors) else None
+            nxt = anchors[ci + 1] if ci + 1 < len(anchors) else None
+            chunk = fetch(nxt) if (prefetch and nxt is not None) else None
             res = res if self.compute_vel else (res,)
             if profile:
                 for k, v in self.inner.last_timings.items():
@@ -252,6 +257,8 @@ class ChunkedHierarchicalProcessor:
                         o, r, jnp.asarray(a, jnp.int32)
                     )
             del res
+            if not prefetch and ci + 1 < len(anchors):
+                chunk = fetch(anchors[ci + 1])
         if profile:
             self.last_timings = timings
         if self.compute_vel:

@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from .chunked import _largest_divisor
 from .hierarchical import HierarchicalConfig
 
 # Per-voxel transient coefficients: live mid-channel tensors in flight per
@@ -48,10 +49,7 @@ MID_CHAN = 64  # the shipped models' interior width (mid_chan)
 
 def _even_divisor(n: int, cap: int, mult: int = 2) -> int:
     """Largest d <= cap with d % mult == 0 and n % d == 0 (mult if none)."""
-    for d in range(min(cap, n), mult - 1, -1):
-        if d % mult == 0 and n % d == 0:
-            return d
-    return mult
+    return _largest_divisor(n, cap, mult)
 
 
 def _tile1_for(size, cap: int) -> int:
@@ -114,7 +112,7 @@ def estimate_peak_bytes(cfg: HierarchicalConfig, compute_vel: bool,
 
 
 def _monolithic_config(size, dtype, compute_vel, output_dtype, in_chan,
-                       hbm_bytes) -> HierarchicalConfig:
+                       hbm_bytes, mid_chan=MID_CHAN) -> HierarchicalConfig:
     """The measured v5e geometry rules, generalized to divisible extents."""
     f32 = jnp.dtype(dtype) == jnp.float32
     n = min(size)
@@ -145,7 +143,7 @@ def _monolithic_config(size, dtype, compute_vel, output_dtype, in_chan,
     # Shrink the phase-3 tile (largest axis first) while over budget —
     # transients scale with tile volume, buffers don't move.
     budget = hbm_bytes * _HEADROOM
-    while estimate_peak_bytes(cfg, compute_vel) > budget:
+    while estimate_peak_bytes(cfg, compute_vel, mid_chan) > budget:
         td, th, tw = cfg.tile
         order = sorted(range(3), key=lambda i: -cfg.tile[i])
         for ax in order:
@@ -174,6 +172,7 @@ def auto_hierarchical_config(
     output_dtype=np.float16,
     in_chan: int = 3,
     hbm_bytes: int = 16 << 30,
+    mid_chan: int = MID_CHAN,
 ):
     """Plan a measured-fitting geometry for one chip.
 
@@ -183,11 +182,14 @@ def auto_hierarchical_config(
     return value is accepted by ``create_emulator(processor_config=...)``.
 
     Args:
-        size: box extent, int or (D, H, W); each must be divisible by 8.
+        size: box extent, int or (D, H, W); each must be divisible by 16
+            (packed-execution alignment).
         dtype: compute dtype (bfloat16 or float32; float32 runs get
             bfloat16 inter-phase buffers, see ``HierarchicalConfig``).
         compute_vel: plan for the displacement+velocity models.
         hbm_bytes: per-chip HBM budget (default: a 16 GB v5e).
+        mid_chan: the model's interior channel width — the per-voxel
+            transient estimate scales with it (default: the shipped 64).
     """
     if isinstance(size, (int, np.integer)):
         size = (int(size),) * 3
@@ -200,8 +202,8 @@ def auto_hierarchical_config(
             f"extents."
         )
     cfg = _monolithic_config(size, dtype, compute_vel, output_dtype,
-                             in_chan, hbm_bytes)
-    if estimate_peak_bytes(cfg, compute_vel) <= hbm_bytes * _HEADROOM:
+                             in_chan, hbm_bytes, mid_chan)
+    if estimate_peak_bytes(cfg, compute_vel, mid_chan) <= hbm_bytes * _HEADROOM:
         return cfg
 
     from .chunked import ChunkedHierarchicalConfig  # circular-safe
@@ -231,9 +233,9 @@ def auto_hierarchical_config(
         )
         inner = _monolithic_config(
             ccfg.inner_size, dtype, compute_vel, output_dtype, in_chan,
-            hbm_bytes,
+            hbm_bytes, mid_chan,
         )
-        if estimate_peak_bytes(inner, compute_vel) <= hbm_bytes * _HEADROOM:
+        if estimate_peak_bytes(inner, compute_vel, mid_chan) <= hbm_bytes * _HEADROOM:
             return ChunkedHierarchicalConfig(
                 size=size,
                 chunks=tuple(chunks),

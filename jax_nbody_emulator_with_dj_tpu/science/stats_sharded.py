@@ -49,8 +49,12 @@ def _extend_low(d, mesh_shape):
 
 
 def minkowski_functionals_sharded(delta, thresholds, mesh: Mesh):
-    """V0..V3 of mesh-sharded excursion sets; matches
-    ``minkowski.minkowski_functionals`` exactly (integer counts).
+    """V0..V3 of mesh-sharded excursion sets.
+
+    The Euler characteristic (V3) is computed from integer-exact per-shard
+    alternating sums at any scale; V0-V2 reduce monotone counts in float32
+    (relative rounding ~1e-7 at pod sizes).  Matches
+    ``minkowski.minkowski_functionals`` on every test grid.
 
     Returns a replicated (T, 4) array.
     """
@@ -102,14 +106,24 @@ def minkowski_functionals_sharded(delta, thresholds, mesh: Mesh):
             ):
                 acc = acc | block(o)
             n0 = jnp.sum(acc)
-            c = jnp.stack([n0, n1, n2, n3]).astype(jnp.float32)
-            n0, n1, n2, n3 = lax.psum(c, SPATIAL_AXES)
+            # Combine per shard in int32 (exact: local counts < 2^31), THEN
+            # reduce.  The alternating Euler sum chi = n0-n1+n2-n3 is a
+            # small topological number per shard, so its int32 psum stays
+            # exact at any scale; the monotone combinations are reduced in
+            # f32 (relative rounding ~1e-7 — they are only ever used as
+            # densities), because their global sums can exceed int32.
+            chi = (n0 - n1 + n2 - n3).astype(jnp.int32)
+            chi = lax.psum(chi, SPATIAL_AXES)
+            c = jnp.stack(
+                [n3, n2 - 3 * n3, n1 - 2 * n2 + 3 * n3]
+            ).astype(jnp.float32)
+            n3s, v1c, v2c = lax.psum(c, SPATIAL_AXES)
             return jnp.stack(
                 [
-                    n3 / vol,
-                    (2.0 / 9.0) * (n2 - 3 * n3) / vol,
-                    (2.0 / 9.0) * (n1 - 2 * n2 + 3 * n3) / vol,
-                    (n0 - n1 + n2 - n3) / vol,
+                    n3s / vol,
+                    (2.0 / 9.0) * v1c / vol,
+                    (2.0 / 9.0) * v2c / vol,
+                    chi.astype(jnp.float32) / vol,
                 ]
             )
 
