@@ -86,7 +86,8 @@ def _shard_and_put(mesh: Mesh, *fields, rank=3):
 
 
 def gaussian_random_field_sharded(
-    key, n: int, mesh: Mesh, boxsize: float, k_table, p_table, *, white=None
+    key, n: int, mesh: Mesh, boxsize: float, k_table, p_table, *,
+    white=None, fixed_amplitude: bool = False,
 ):
     """Mesh-sharded delta(x) with power spectrum P(k).
 
@@ -109,6 +110,13 @@ def gaussian_random_field_sharded(
 
     def color(w):
         wk = _fft3_local(w, mesh_shape)
+        if fixed_amplitude:
+            # unit-modulus modes (variance-suppressed "fixed" ICs), same
+            # normalization as grf.gaussian_random_field: |W| -> sqrt(N^3)
+            mag = jnp.abs(wk)
+            wk = jnp.where(mag > 0, wk / jnp.maximum(mag, 1e-30), 0.0) * (
+                float(n) ** 1.5
+            )
         kmag = _local_kmag(n, boxsize, mesh_shape)
         amp = jnp.sqrt(_interp_pk(kmag, kt, pt) * float(n) ** 3 / boxsize**3)
         # amp is 0 at k=0 (interp_pk zeroes kmag==0), so no DC to clear

@@ -178,3 +178,25 @@ class TestEndToEndOnMesh:
         np.testing.assert_allclose(
             np.asarray(pk_s), np.asarray(pk_ref), rtol=5e-3
         )
+
+
+class TestFixedAmplitude:
+    def test_matches_single_device(self, pk_table):
+        """Fixed-amplitude ("fixed field") ICs from the same white noise
+        must equal the single-device implementation."""
+        k, p = pk_table
+        white = np.asarray(
+            jax.random.normal(jax.random.key(6), (N, N, N), jnp.float32)
+        )
+        key = jax.random.key(6)  # single-device draws this white internally
+        ref = np.asarray(
+            gaussian_random_field(key, N, BOX, k, p, fixed_amplitude=True)
+        )
+        mesh = make_mesh((2, 2, 2))
+        got = np.asarray(
+            gaussian_random_field_sharded(
+                None, N, mesh, BOX, k, p, white=white, fixed_amplitude=True
+            )
+        )
+        scale = ref.std()
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=5e-4 * scale)
