@@ -87,12 +87,49 @@ _HALF_OFFSETS = [(0, 0, 0), (0, 0, 1), (0, 1, -1), (0, 1, 0), (0, 1, 1)] + [
 ]
 
 
+def _finalize_groups(pos: np.ndarray, root_labels: np.ndarray, L: float,
+                     nmin: int):
+    """Group statistics from per-particle union-find roots (shared tail of
+    the numpy and native engines — both emit min-component-index roots)."""
+    n_p = len(pos)
+    roots, labels = np.unique(root_labels, return_inverse=True)
+    n_comp = len(roots)
+
+    lengths = np.bincount(labels, minlength=n_comp)
+    keep = lengths >= nmin
+    group_ids = np.nonzero(keep)[0]
+    remap = -np.ones(n_comp, np.int64)
+    remap[group_ids] = np.arange(len(group_ids))
+    out_labels = remap[labels].astype(np.int32)
+
+    # Periodic center of mass via circular mean per axis.
+    centers = np.zeros((len(group_ids), 3), np.float64)
+    two_pi = 2 * np.pi / L
+    for d in range(3):
+        ang = pos[:, d].astype(np.float64) * two_pi
+        cs = np.zeros(n_comp)
+        sn = np.zeros(n_comp)
+        np.add.at(cs, labels, np.cos(ang))
+        np.add.at(sn, labels, np.sin(ang))
+        mean_ang = np.arctan2(sn[group_ids], cs[group_ids])
+        centers[:, d] = np.mod(mean_ang / (2 * np.pi), 1.0) * L
+
+    del n_p
+    return {
+        "labels": out_labels,
+        "lengths": lengths[group_ids].astype(np.int64),
+        "centers": centers.astype(np.float32),
+        "n_groups": int(len(group_ids)),
+    }
+
+
 def friends_of_friends(
     positions: np.ndarray,
     boxsize: float,
     linking_length: float,
     nmin: int = 20,
     chunk: int = 4_000_000,
+    engine: str = "auto",
 ):
     """Periodic FoF group finder (cell-hash + batched union-find).
 
@@ -107,6 +144,10 @@ def friends_of_friends(
         linking_length: absolute linking length b (same units).
         nmin: minimum group multiplicity to report.
         chunk: candidate-pair batch size (memory control).
+        engine: 'auto' uses the native C++ linking kernel when it builds
+            (``native/fof.cpp``, ~10x the numpy engine; exact agreement —
+            both emit min-component-index roots), falling back to numpy;
+            'numpy' / 'native' force one.
 
     Returns:
         dict with 'labels' (Np,) int32 (-1 for unreported), 'lengths',
@@ -116,6 +157,17 @@ def friends_of_friends(
     n_p = len(pos)
     b = float(linking_length)
     L = float(boxsize)
+
+    if engine not in ("auto", "numpy", "native"):
+        raise ValueError(f"engine must be auto/numpy/native, got {engine!r}")
+    if engine in ("auto", "native"):
+        from ..native import fof_labels as native_fof
+
+        roots = native_fof(pos, L, b) if n_p else np.zeros(0, np.int64)
+        if roots is not None:
+            return _finalize_groups(pos, roots, L, nmin)
+        if engine == "native":
+            raise RuntimeError("native FoF kernel unavailable (g++ build failed)")
 
     # Cell grid: cell >= b so any linked pair spans <= 1 cell per axis.
     ncell = max(1, int(np.floor(L / b)))
@@ -205,35 +257,8 @@ def friends_of_friends(
                 ia, ib = ia[keep], ib[keep]
             link_pairs(ia, ib)
 
-    labels = _find_roots(parent, np.arange(n_p, dtype=np.int64))
-    roots, labels = np.unique(labels, return_inverse=True)
-    n_comp = len(roots)
-
-    lengths = np.bincount(labels, minlength=n_comp)
-    keep = lengths >= nmin
-    group_ids = np.nonzero(keep)[0]
-    remap = -np.ones(n_comp, np.int64)
-    remap[group_ids] = np.arange(len(group_ids))
-    out_labels = remap[labels].astype(np.int32)
-
-    # Periodic center of mass via circular mean per axis.
-    centers = np.zeros((len(group_ids), 3), np.float64)
-    two_pi = 2 * np.pi / L
-    for d in range(3):
-        ang = pos[:, d].astype(np.float64) * two_pi
-        cs = np.zeros(n_comp)
-        sn = np.zeros(n_comp)
-        np.add.at(cs, labels, np.cos(ang))
-        np.add.at(sn, labels, np.sin(ang))
-        mean_ang = np.arctan2(sn[group_ids], cs[group_ids])
-        centers[:, d] = np.mod(mean_ang / (2 * np.pi), 1.0) * L
-
-    return {
-        "labels": out_labels,
-        "lengths": lengths[group_ids].astype(np.int64),
-        "centers": centers.astype(np.float32),
-        "n_groups": int(len(group_ids)),
-    }
+    roots = _find_roots(parent, np.arange(n_p, dtype=np.int64))
+    return _finalize_groups(pos, roots, L, nmin)
 
 
 def friends_of_friends_slabbed(

@@ -287,3 +287,62 @@ class TestFoFSlabbed:
         np.testing.assert_array_equal(
             np.sort(got["lengths"]), np.sort(ref["lengths"])
         )
+
+
+class TestNativeEngine:
+    """The C++ linking kernel must agree with the numpy engine exactly
+    (both emit min-component-index roots -> identical label arrays)."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def _require_native(self):
+        from jax_nbody_emulator_with_dj_tpu.native import native_fof_available
+
+        if not native_fof_available():
+            pytest.skip("native kernel did not build")
+
+    @pytest.mark.parametrize("seed,b_frac", [(0, 0.25), (1, 0.6), (2, 1.1)])
+    def test_random_points_identical(self, seed, b_frac):
+        rng = np.random.default_rng(seed)
+        box = 40.0
+        pos = rng.uniform(0, box, size=(6000, 3)).astype(np.float32)
+        b = b_frac * box / 20
+        a = friends_of_friends(pos, box, b, nmin=2, engine="numpy")
+        c = friends_of_friends(pos, box, b, nmin=2, engine="native")
+        np.testing.assert_array_equal(a["labels"], c["labels"])
+        np.testing.assert_array_equal(a["lengths"], c["lengths"])
+        np.testing.assert_allclose(a["centers"], c["centers"], rtol=1e-6, atol=1e-5)
+
+    def test_boundary_wrap_identical(self):
+        """Clusters straddling all three periodic faces."""
+        box = 30.0
+        rng = np.random.default_rng(3)
+        corners = rng.uniform(-0.4, 0.4, size=(400, 3)) % box
+        mid = rng.uniform(10, 20, size=(300, 3))
+        pos = np.concatenate([corners, mid]).astype(np.float32)
+        a = friends_of_friends(pos, box, 1.0, nmin=5, engine="numpy")
+        c = friends_of_friends(pos, box, 1.0, nmin=5, engine="native")
+        np.testing.assert_array_equal(a["labels"], c["labels"])
+
+    def test_tiny_grid_identical(self):
+        """linking length > L/3 -> degenerate 1-2 cell grids."""
+        box = 10.0
+        rng = np.random.default_rng(4)
+        pos = rng.uniform(0, box, size=(500, 3)).astype(np.float32)
+        for b in (3.5, 5.5):
+            a = friends_of_friends(pos, box, b, nmin=1, engine="numpy")
+            c = friends_of_friends(pos, box, b, nmin=1, engine="native")
+            np.testing.assert_array_equal(a["labels"], c["labels"])
+
+    def test_auto_prefers_native(self):
+        from jax_nbody_emulator_with_dj_tpu.science import halos as H
+
+        pos = np.random.default_rng(5).uniform(0, 20, (200, 3)).astype(np.float32)
+        a = friends_of_friends(pos, 20.0, 0.8, nmin=2, engine="auto")
+        c = friends_of_friends(pos, 20.0, 0.8, nmin=2, engine="native")
+        np.testing.assert_array_equal(a["labels"], c["labels"])
+
+    def test_bad_engine_rejected(self):
+        with pytest.raises(ValueError, match="engine"):
+            friends_of_friends(
+                np.zeros((4, 3), np.float32), 1.0, 0.1, engine="gpu"
+            )
