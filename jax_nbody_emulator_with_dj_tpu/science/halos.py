@@ -145,8 +145,9 @@ def friends_of_friends(
         nmin: minimum group multiplicity to report.
         chunk: candidate-pair batch size (memory control).
         engine: 'auto' uses the native C++ linking kernel when it builds
-            (``native/fof.cpp``, ~10x the numpy engine; exact agreement —
-            both emit min-component-index roots), falling back to numpy;
+            (``native/fof.cpp``, ~1.5-2x the numpy engine with far
+            smaller peak memory; exact agreement — both emit
+            min-component-index roots), falling back to numpy;
             'numpy' / 'native' force one.
 
     Returns:
@@ -269,6 +270,7 @@ def friends_of_friends_slabbed(
     n_slabs: int = 8,
     chunk: int = 4_000_000,
     return_labels: bool = False,
+    engine: str = "auto",
 ):
     """Memory-bounded FoF: Eulerian x-slab streaming with ghost-zone merges.
 
@@ -344,7 +346,7 @@ def friends_of_friends_slabbed(
 
     if n_slabs == 1:
         pos, gid = slab_subset(0.0, L)
-        res = friends_of_friends(pos, L, b, nmin=nmin, chunk=chunk)
+        res = friends_of_friends(pos, L, b, nmin=nmin, chunk=chunk, engine=engine)
         if return_labels:
             labels = np.empty(n**3, np.int32)
             labels[gid] = res["labels"]
@@ -362,7 +364,7 @@ def friends_of_friends_slabbed(
     for s in range(n_slabs):
         x0 = s * slab_w
         pos, gid = slab_subset(np.float32((x0 - b) % L), slab_w + 2 * b)
-        sub = friends_of_friends(pos, L, b, nmin=1, chunk=chunk)
+        sub = friends_of_friends(pos, L, b, nmin=1, chunk=chunk, engine=engine)
         nodes = node_off[-1] + sub["labels"].astype(np.int64)
         node_off.append(node_off[-1] + sub["n_groups"])
         own = np.mod(pos[:, 0] - x0, L) < slab_w

@@ -31,6 +31,10 @@ def main():
     p.add_argument("--z", type=float, default=0.0)
     p.add_argument("--linking-length", type=float, default=0.2, help="in mean interparticle spacings")
     p.add_argument("--nmin", type=int, default=20)
+    p.add_argument("--engine", choices=("auto", "numpy", "native"),
+                   default="auto",
+                   help="FoF linking engine: auto prefers the on-demand-"
+                        "compiled C++ kernel, falling back to numpy")
     p.add_argument("--n-slabs", type=int, default=1,
                    help=">1 streams Eulerian x-slabs through the FoF "
                         "(memory-bounded: one slab + ghosts resident; the "
@@ -68,11 +72,13 @@ def main():
               flush=True)
         if args.n_slabs > 1:
             fof = friends_of_friends_slabbed(
-                psi, args.boxsize, b_abs, nmin=args.nmin, n_slabs=args.n_slabs
+                psi, args.boxsize, b_abs, nmin=args.nmin,
+                n_slabs=args.n_slabs, engine=args.engine,
             )
         else:
             pos = positions_from_displacement(psi, args.boxsize)
-            fof = friends_of_friends(pos, args.boxsize, b_abs, nmin=args.nmin)
+            fof = friends_of_friends(pos, args.boxsize, b_abs, nmin=args.nmin,
+                                     engine=args.engine)
         lengths, centers = fof["lengths"], fof["centers"]
         np.savez(cat_path, lengths=lengths, centers=centers)
         meta = {
