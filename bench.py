@@ -96,6 +96,32 @@ def main():
 
     apply_jax_platforms_env()
 
+    # Dead-tunnel watchdog: when the tunneled TPU backend is unreachable,
+    # backend init hangs FOREVER inside the PJRT client constructor (no
+    # timeout anywhere in the stack).  A healthy backend initializes in
+    # seconds; if the first device contact hasn't completed after 10
+    # minutes, emit an explicit failure record instead of hanging the
+    # harness silently.
+    import os
+    import threading
+
+    backend_up = threading.Event()
+    wd_timeout = float(os.environ.get("BENCH_BACKEND_TIMEOUT", "600"))
+
+    def _watchdog():
+        if not backend_up.wait(wd_timeout):
+            print(json.dumps({
+                "metric": "voxels_per_sec_chip_512_dispvel",
+                "value": 0.0,
+                "unit": "voxel/s",
+                "vs_baseline": 0.0,
+                "error": f"backend init timed out after {wd_timeout:.0f} s "
+                         "(accelerator tunnel unreachable)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     # Persistent compile cache: geometry sweeps re-run this script many
     # times; unchanged phase programs then reload instead of recompiling
     # (each full-pipeline compile is minutes on the tunneled backend).
@@ -122,6 +148,7 @@ def main():
     )
 
     dev = jax.devices()[0]
+    backend_up.set()
     key = jax.random.key(0)
     style_params = StyleNBodyEmulatorVelCore(mid_chan=args.mid_chan).init(key)
     compute_vel = args.vel
