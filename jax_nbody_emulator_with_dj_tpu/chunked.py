@@ -184,13 +184,21 @@ class ChunkedHierarchicalProcessor:
         ]
 
     def process_box(self, input_box, z, Om, as_numpy: bool = True,
-                    profile: bool = False):
+                    profile: bool = False, resume_dir=None):
         """Emulate a full periodic box chunk by chunk.
 
         The global input stays alive across all chunks, so there is no
         ``donate_input`` here; each *chunk* is donated into the inner run.
         With ``profile=True``, per-phase times summed over chunks land in
         ``self.last_timings``.
+
+        ``resume_dir`` (host-assembly mode only) makes multi-hour runs
+        restartable: every finished chunk's center crop is flushed to
+        ``<dir>/chunk_<anchor>_<out>.npy`` and chunks whose files already
+        exist are loaded instead of recomputed — the reference's pipeline
+        restarts a crashed subbox loop from zero (SURVEY §5), this resumes
+        mid-box.  The caller may delete the directory once the returned
+        arrays are persisted.
         """
         cfg = self.config
         if tuple(input_box.shape) != (cfg.in_chan,) + cfg.size:
@@ -203,12 +211,38 @@ class ChunkedHierarchicalProcessor:
         if as_numpy:
             outs = [np.empty((cfg.in_chan,) + cfg.size, odt) for _ in range(nout)]
         else:
+            if resume_dir is not None:
+                raise ValueError("resume_dir needs host assembly (as_numpy=True)")
             outs = [
                 jnp.zeros((cfg.in_chan,) + cfg.size, jnp.dtype(odt))
                 for _ in range(nout)
             ]
         timings: dict[str, float] = {}
         anchors = self._anchors()
+
+        chunk_files = None
+        if resume_dir is not None:
+            from pathlib import Path
+
+            rdir = Path(resume_dir)
+            rdir.mkdir(parents=True, exist_ok=True)
+
+            def chunk_files(a):  # noqa: F811 — one file per output array
+                tag = "_".join(str(ai) for ai in a)
+                return [rdir / f"chunk_{tag}_{i}.npy" for i in range(nout)]
+
+            done, pending = [], []
+            for a in anchors:
+                (done if all(f.exists() for f in chunk_files(a)) else pending).append(a)
+            for a in done:
+                dst = tuple(slice(ai, ai + c) for ai, c in zip(a, cfg.chunk_size))
+                for o, f in zip(outs, chunk_files(a)):
+                    o[(slice(None),) + dst] = np.load(f).astype(odt)
+            anchors = pending
+            if not anchors:
+                if profile:
+                    self.last_timings = {}
+                return tuple(outs) if self.compute_vel else outs[0]
 
         def fetch(a):
             """Stage the padded chunk at anchor ``a`` onto the device."""
@@ -252,6 +286,12 @@ class ChunkedHierarchicalProcessor:
                     r = np.asarray(self._crop(r, jnp.dtype(odt)))
                     dst = tuple(slice(ai, ai + c) for ai, c in zip(a, cfg.chunk_size))
                     o[(slice(None),) + dst] = r
+                    if chunk_files is not None:
+                        f = chunk_files(a)[i]
+                        tmp = f.with_suffix(".npy.tmp")
+                        with open(tmp, "wb") as fh:  # file handle: np.save
+                            np.save(fh, r)           # must not append .npy
+                        tmp.replace(f)  # atomic: partial writes never resume
                 else:
                     outs[i] = self._crop_scatter(
                         o, r, jnp.asarray(a, jnp.int32)

@@ -197,3 +197,50 @@ class TestChunkedContracts:
         proc.process_box(box, 0.5, 0.3175, profile=True)
         assert {"phase1", "phase3"} <= set(proc.last_timings)
         assert all(v >= 0 for v in proc.last_timings.values())
+
+
+class TestChunkedResume:
+    """Mid-box resume: finished chunks flush to disk and are never
+    recomputed on restart (the reference restarts its subbox loop from
+    zero on a crash)."""
+
+    def _build(self, style_params):
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=MID)
+        cfg = ChunkedHierarchicalConfig(
+            size=(N,) * 3, chunks=(2, 1, 1),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        return ChunkedHierarchicalProcessor(model, params, cfg)
+
+    def test_full_run_then_resume_skips_all(self, style_params, box, tmp_path):
+        proc = self._build(style_params)
+        ref = proc.process_box(box, 0.5, 0.3175)
+        first = proc.process_box(box, 0.5, 0.3175, resume_dir=tmp_path)
+        np.testing.assert_array_equal(first, ref)
+        calls = []
+        inner_run = proc.inner.process_box
+        proc.inner.process_box = lambda *a, **k: calls.append(1) or inner_run(*a, **k)
+        resumed = proc.process_box(box, 0.5, 0.3175, resume_dir=tmp_path)
+        assert calls == []  # every chunk loaded from disk
+        np.testing.assert_array_equal(resumed, ref)
+
+    def test_partial_resume_computes_only_missing(self, style_params, box, tmp_path):
+        proc = self._build(style_params)
+        ref = proc.process_box(box, 0.5, 0.3175)
+        proc.process_box(box, 0.5, 0.3175, resume_dir=tmp_path)
+        # drop one chunk's file -> exactly one inner run on resume
+        victims = sorted(tmp_path.glob("chunk_*_0.npy"))
+        victims[0].unlink()
+        calls = []
+        inner_run = proc.inner.process_box
+        proc.inner.process_box = lambda *a, **k: calls.append(1) or inner_run(*a, **k)
+        resumed = proc.process_box(box, 0.5, 0.3175, resume_dir=tmp_path)
+        assert len(calls) == 1
+        np.testing.assert_array_equal(resumed, ref)
+
+    def test_resume_requires_host_assembly(self, style_params, box, tmp_path):
+        proc = self._build(style_params)
+        with pytest.raises(ValueError, match="resume_dir"):
+            proc.process_box(jnp.asarray(box), 0.5, 0.3175, as_numpy=False,
+                             resume_dir=tmp_path)
