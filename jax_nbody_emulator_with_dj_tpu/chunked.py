@@ -250,13 +250,25 @@ class ChunkedHierarchicalProcessor:
                 (ai - p) % n for ai, p, n in zip(a, cfg.pads, cfg.size)
             )
             if host_in:
-                idx = [
-                    (np.arange(s, s + m) % n)
-                    for s, m, n in zip(start, cfg.inner_size, cfg.size)
-                ]
-                gathered = input_box[
-                    :, idx[0][:, None, None], idx[1][None, :, None], idx[2][None, None, :]
-                ]
+                # Native segment-memcpy gather when available (numpy's
+                # broadcast fancy-index runs element-by-element — ~30 MiB/s
+                # for fp16 on this host, which would dominate the pipeline
+                # at >= 1 GiB padded chunks); the numpy path is the
+                # always-available canonical fallback and tests assert
+                # equality (tests/test_chunked.py).
+                from .native import periodic_gather
+
+                gathered = None
+                if input_box.flags.c_contiguous:
+                    gathered = periodic_gather(input_box, start, cfg.inner_size)
+                if gathered is None:
+                    idx = [
+                        (np.arange(s, s + m) % n)
+                        for s, m, n in zip(start, cfg.inner_size, cfg.size)
+                    ]
+                    gathered = input_box[
+                        :, idx[0][:, None, None], idx[1][None, :, None], idx[2][None, None, :]
+                    ]
                 return jax.device_put(gathered)
             return self._extract(input_box, jnp.asarray(start, jnp.int32))
 

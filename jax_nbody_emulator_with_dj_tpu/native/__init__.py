@@ -1,13 +1,20 @@
 """Build-on-demand native (C++) kernels, loaded through ctypes.
 
 The package's compute path is JAX/XLA; these kernels serve the *host-side*
-runtime pieces where the reference leans on external native code — today
-the FoF pair-linking loop (the reference uses nbodykit's C/MPI FOF,
-``scripts/halos.py:407-450`` there).  Sources compile on first use with
-``g++ -O3 -shared -fPIC`` into a cache directory (override with
-``JAX_NBODY_NATIVE_CACHE``); every caller treats the native kernel as an
-accelerator with the pure-numpy implementation as the always-available
-canonical fallback, and equivalence is asserted in tests.
+runtime pieces where the reference leans on external native code or on
+slow interpreted loops:
+
+- ``fof.cpp`` — the FoF pair-linking loop (the reference uses nbodykit's
+  C/MPI FOF, ``scripts/halos.py:407-450`` there);
+- ``staging.cpp`` — periodic chunk gather for the chunked big-box
+  runtime's host-staged inputs (the reference's numpy broadcast
+  fancy-index crop, ``subbox.py:197-201`` there, runs element-by-element).
+
+Sources compile on first use with ``g++ -O3 -shared -fPIC`` into a cache
+directory (override with ``JAX_NBODY_NATIVE_CACHE``); every caller treats
+the native kernel as an accelerator with the pure-numpy implementation as
+the always-available canonical fallback, and equivalence is asserted in
+tests.
 """
 
 from __future__ import annotations
@@ -20,7 +27,6 @@ from pathlib import Path
 
 import numpy as np
 
-_SRC = Path(__file__).with_name("fof.cpp")
 _CACHE: dict[str, object] = {}
 
 
@@ -33,24 +39,32 @@ def _cache_dir() -> Path:
     return p
 
 
-def _load_library():
-    """Compile (if needed) and dlopen the kernel library; None on failure."""
-    if "lib" in _CACHE:
-        return _CACHE["lib"]
-    lib = None
+def _compile_and_load(name: str, extra_flags: tuple[str, ...] = ()):
+    """Compile <name>.cpp (if needed) and dlopen it; None on failure."""
+    src_path = Path(__file__).with_name(f"{name}.cpp")
     try:
-        src = _SRC.read_bytes()
+        src = src_path.read_bytes()
         tag = hashlib.sha256(src).hexdigest()[:16]
-        so = _cache_dir() / f"fof_{tag}.so"
+        so = _cache_dir() / f"{name}_{tag}.so"
         if not so.exists():
             tmp = so.with_suffix(".so.build")
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                 str(_SRC), "-o", str(tmp)],
+                 *extra_flags, str(src_path), "-o", str(tmp)],
                 check=True, capture_output=True, timeout=300,
             )
             os.replace(tmp, so)
-        lib = ctypes.CDLL(str(so))
+        return ctypes.CDLL(str(so))
+    except Exception:
+        return None
+
+
+def _load_library():
+    """The FoF kernel library (compiled on demand); None on failure."""
+    if "lib" in _CACHE:
+        return _CACHE["lib"]
+    lib = _compile_and_load("fof")
+    if lib is not None:
         lib.fof_labels.restype = ctypes.c_int
         lib.fof_labels.argtypes = [
             ctypes.POINTER(ctypes.c_float),
@@ -59,8 +73,6 @@ def _load_library():
             ctypes.c_double,
             ctypes.POINTER(ctypes.c_int64),
         ]
-    except Exception:
-        lib = None
     _CACHE["lib"] = lib
     return lib
 
@@ -90,3 +102,56 @@ def fof_labels(positions: np.ndarray, boxsize: float, linking_length: float):
     if rc != 0:
         raise ValueError(f"native fof_labels failed with code {rc}")
     return labels
+
+
+def _load_staging():
+    if "staging" in _CACHE:
+        return _CACHE["staging"]
+    lib = _compile_and_load("staging")
+    if lib is not None:
+        lib.periodic_gather.restype = ctypes.c_int
+        lib.periodic_gather.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            *([ctypes.c_int64] * 11),
+            ctypes.c_int,
+        ]
+    _CACHE["staging"] = lib
+    return lib
+
+
+def native_staging_available() -> bool:
+    return _load_staging() is not None
+
+
+def periodic_gather(src: np.ndarray, start, out_shape, out: np.ndarray | None = None):
+    """Gather ``src[:, (start+i) % shape]`` — a periodically wrapped
+    subvolume of a C-order ``(C, D, H, W)`` array — via segment memcpys.
+
+    ``start`` and ``out_shape`` are per-spatial-axis (3-tuples); extents
+    larger than the source tile the torus, matching the numpy broadcast
+    fancy-index semantics the chunked runtime otherwise uses.  Returns
+    None when the kernel is unavailable (callers fall back to numpy).
+    """
+    lib = _load_staging()
+    if lib is None:
+        return None
+    if src.ndim != 4 or not src.flags.c_contiguous:
+        raise ValueError("src must be a C-contiguous (C, D, H, W) array")
+    sd, sh, sw = (int(s) % int(n) for s, n in zip(start, src.shape[1:]))
+    od, oh, ow = (int(m) for m in out_shape)
+    if out is None:
+        out = np.empty((src.shape[0], od, oh, ow), src.dtype)
+    elif out.shape != (src.shape[0], od, oh, ow) or out.dtype != src.dtype \
+            or not out.flags.c_contiguous:
+        raise ValueError("out must be C-contiguous (C, od, oh, ow) of src dtype")
+    rc = lib.periodic_gather(
+        src.ctypes.data, out.ctypes.data,
+        *map(ctypes.c_int64, src.shape),
+        ctypes.c_int64(sd), ctypes.c_int64(sh), ctypes.c_int64(sw),
+        ctypes.c_int64(od), ctypes.c_int64(oh), ctypes.c_int64(ow),
+        ctypes.c_int64(src.dtype.itemsize),
+        ctypes.c_int(0),
+    )
+    if rc != 0:
+        raise ValueError(f"native periodic_gather failed with code {rc}")
+    return out

@@ -244,3 +244,49 @@ class TestChunkedResume:
         with pytest.raises(ValueError, match="resume_dir"):
             proc.process_box(jnp.asarray(box), 0.5, 0.3175, as_numpy=False,
                              resume_dir=tmp_path)
+
+
+class TestNativeStaging:
+    """The native (C++) periodic chunk gather must match the numpy
+    broadcast fancy-index bit-for-bit, and the chunked runtime must
+    produce identical output with and without it (the numpy path is the
+    canonical always-available fallback)."""
+
+    def test_kernel_matches_numpy_fancy_index(self):
+        from jax_nbody_emulator_with_dj_tpu import native
+
+        if not native.native_staging_available():
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(7)
+        for dtype in (np.float16, np.float32):
+            for shape, start, out in [
+                ((3, 16, 16, 16), (10, 15, 3), (12, 9, 20)),  # all-axis wrap
+                ((2, 8, 8, 8), (0, 0, 0), (8, 8, 8)),         # identity
+                ((1, 4, 5, 6), (3, 4, 5), (11, 12, 13)),      # torus tiling
+            ]:
+                src = rng.normal(size=shape).astype(dtype)
+                got = native.periodic_gather(src, start, out)
+                idx = [
+                    (np.arange(s, s + m) % n)
+                    for s, m, n in zip(start, out, shape[1:])
+                ]
+                want = src[:, idx[0][:, None, None], idx[1][None, :, None],
+                           idx[2][None, None, :]]
+                np.testing.assert_array_equal(got, want)
+
+    def test_chunked_output_identical_without_native(
+        self, style_params, box, monkeypatch
+    ):
+        from jax_nbody_emulator_with_dj_tpu import native
+
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=MID)
+        cfg = ChunkedHierarchicalConfig(
+            size=(N,) * 3, chunks=(2, 1, 1),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        proc = ChunkedHierarchicalProcessor(model, params, cfg)
+        with_native = proc.process_box(box, 0.5, 0.3175)
+        monkeypatch.setattr(native, "periodic_gather", lambda *a, **k: None)
+        without = proc.process_box(box, 0.5, 0.3175)
+        np.testing.assert_array_equal(with_native, without)
