@@ -312,3 +312,107 @@ class TestDtypeMatrix:
         proc = SubboxProcessor(model, style_params, make_config())
         out = proc.process_box(box, 0.5, 0.3, as_numpy=False)
         assert isinstance(out, jax.Array)
+
+
+class TestSubboxConfigContracts:
+    """Field/default contracts (reference test_subbox.py:28-254)."""
+
+    def test_default_initialization(self):
+        cfg = SubboxConfig(size=(128, 128, 128), ndiv=(2, 2, 2))
+        assert cfg.dtype == jnp.float32
+        assert cfg.output_dtype == np.float32
+        assert cfg.in_chan == 3
+        assert cfg.padding == ((48, 48), (48, 48), (48, 48))
+        assert cfg.crop_size == (64, 64, 64)
+        assert cfg.crop_extent == (160, 160, 160)
+        assert cfg.n_subboxes == 8
+
+    def test_custom_initialization(self):
+        cfg = SubboxConfig(
+            size=(64, 32, 32),
+            ndiv=(4, 1, 2),
+            dtype=jnp.bfloat16,
+            output_dtype=np.float16,
+            in_chan=4,
+            padding=PAD,
+        )
+        assert cfg.dtype == jnp.bfloat16
+        assert cfg.output_dtype == np.float16
+        assert cfg.in_chan == 4
+        assert cfg.crop_size == (16, 32, 16)
+        assert cfg.n_subboxes == 8
+
+    def test_single_subbox(self):
+        cfg = make_config(ndiv=(1, 1, 1))
+        assert cfg.n_subboxes == 1
+        assert cfg.crop_size == cfg.size
+        assert cfg._get_anchor(0) == (0, 0, 0)
+
+    def test_crop_indices_shape_and_bounds(self):
+        cfg = make_config(size=(32, 64, 96), ndiv=(2, 2, 3))
+        for idx in range(cfg.n_subboxes):
+            inds = cfg.crop_indices(idx)
+            for axis, (ext, s) in enumerate(zip(cfg.crop_extent, cfg.size)):
+                assert len(inds[axis]) == ext
+                assert inds[axis].min() >= 0
+                assert inds[axis].max() < s
+
+    def test_output_dtype_independent_of_compute_dtype(self):
+        cfg = make_config(dtype=jnp.float16)
+        assert cfg.output_dtype == np.float32
+        cfg = make_config(dtype=jnp.float32, output_dtype=np.float16)
+        assert cfg.dtype == jnp.float32
+        assert cfg.output_dtype == np.float16
+
+
+class TestProcessorContracts:
+    """Processor dispatch/IO contracts (reference test_subbox.py:257-858)."""
+
+    def test_variant_inference(self, style_params):
+        cfg = make_config()
+        for cls, premod, vel in [
+            (StyleNBodyEmulatorCore, False, False),
+            (StyleNBodyEmulatorVelCore, False, True),
+            (NBodyEmulatorCore, True, False),
+            (NBodyEmulatorVelCore, True, True),
+        ]:
+            proc = SubboxProcessor(cls(**CFG), style_params, cfg)
+            assert proc.premodulate == premod
+            assert proc.compute_vel == vel
+
+    def test_invalid_loop_raises(self, style_params):
+        with pytest.raises(ValueError, match="loop"):
+            SubboxProcessor(
+                StyleNBodyEmulatorCore(**CFG), style_params, make_config(), loop="x"
+            )
+
+    def test_disp_returns_array_not_tuple(self, style_params, box):
+        model = StyleNBodyEmulatorCore(**CFG)
+        out = SubboxProcessor(model, style_params, make_config()).process_box(
+            box, 0.5, 0.3
+        )
+        assert isinstance(out, np.ndarray)
+        assert not isinstance(out, tuple)
+
+    def test_vel_tuple_members_differ(self, style_params, box):
+        model = StyleNBodyEmulatorVelCore(**CFG)
+        out = SubboxProcessor(model, style_params, make_config()).process_box(
+            box, 0.5, 0.3
+        )
+        assert isinstance(out, tuple) and len(out) == 2
+        assert not np.allclose(out[0], out[1])
+
+    def test_om_affects_output(self, style_params, box):
+        model = StyleNBodyEmulatorCore(**CFG)
+        proc = SubboxProcessor(model, style_params, make_config())
+        a = proc.process_box(box, 0.5, 0.25)
+        b = proc.process_box(box, 0.5, 0.40)
+        assert not np.allclose(a, b)
+
+    def test_progress_kwargs_accepted(self, style_params, box):
+        model = StyleNBodyEmulatorCore(**CFG)
+        proc = SubboxProcessor(model, style_params, make_config())
+        out = proc.process_box(
+            box, 0.5, 0.3, desc="Custom description", show_progress=False
+        )
+        assert out.shape == (3,) + make_config().size
