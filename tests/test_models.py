@@ -220,3 +220,76 @@ class TestBatchedCosmologySweep:
             )
             np.testing.assert_allclose(d_b[i], d_i[0], rtol=1e-5, atol=1e-6)
             np.testing.assert_allclose(v_b[i], v_i[0], rtol=1e-5, atol=2e-5)
+
+
+class TestAutodiff:
+    """Differentiability contracts (reference TestJAXCompatibility classes:
+    gradient flow through blocks/models, e.g. test_blocks.py:481-571).
+
+    The engine is inference-first but every forward is a pure function of
+    the parameter pytree, so reverse-mode AD must flow — this is what makes
+    the package trainable/fine-tunable downstream.
+    """
+
+    def test_grad_wrt_params_finite_and_nonzero(self, x, style_params):
+        model = StyleNBodyEmulatorCore(**CFG)
+
+        def loss(p):
+            y = model.apply(p, x[:1], 0.3, 1.2)
+            return jnp.mean(y * y)
+
+        grads = jax.grad(loss)(style_params)
+        leaves = jax.tree.leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+        total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
+        assert total > 0.0
+
+    def test_grad_wrt_input(self, x, style_params):
+        model = StyleNBodyEmulatorCore(**CFG)
+
+        def loss(xi):
+            y = model.apply(style_params, xi, 0.3, 1.2)
+            return jnp.mean(y * y)
+
+        g = jax.grad(loss)(x[:1])
+        assert g.shape == x[:1].shape
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.sum(jnp.abs(g))) > 0.0
+
+    def test_grad_through_style_vector(self, x, style_params):
+        """d(output)/d(Om) through the modulation path is finite & nonzero."""
+        model = StyleNBodyEmulatorCore(**CFG)
+
+        def loss(om):
+            y = model.apply(style_params, x[:1], om, 1.2)
+            return jnp.mean(y * y)
+
+        g = jax.grad(loss)(jnp.float32(0.3))
+        assert np.isfinite(float(g)) and abs(float(g)) > 0.0
+
+    def test_vjp_jvp_consistency(self, x, style_params):
+        """<J v, u> == <v, J^T u> on the full model forward."""
+        model = StyleNBodyEmulatorCore(**CFG)
+        f = lambda xi: model.apply(style_params, xi, 0.3, 1.2)
+        x0 = x[:1]
+        v = jax.random.normal(jax.random.key(5), x0.shape)
+        y, jv = jax.jvp(f, (x0,), (v,))
+        u = jax.random.normal(jax.random.key(6), y.shape)
+        _, vjp = jax.vjp(f, x0)
+        (jtu,) = vjp(u)
+        lhs = float(jnp.vdot(jv, u))
+        rhs = float(jnp.vdot(v, jtu))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+    def test_grad_through_vel_model(self, x, style_params):
+        """Reverse-mode over the manual-JVP velocity path (grad of jvp)."""
+        model = StyleNBodyEmulatorVelCore(**CFG)
+
+        def loss(p):
+            d, v = model.apply(p, x[:1], 0.3, 1.2, 0.7)
+            return jnp.mean(d * d) + jnp.mean(v * v)
+
+        grads = jax.grad(loss)(style_params)
+        assert all(
+            np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads)
+        )
