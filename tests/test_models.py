@@ -293,3 +293,59 @@ class TestAutodiff:
         assert all(
             np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads)
         )
+
+
+class TestResidualPhysics:
+    """Zero-weight network == linear-theory passthrough.
+
+    With every conv weight (and tangent kernel) zeroed the U-Net contributes
+    nothing and the heads reduce to their closed forms (reference
+    style_nbody_emulator_vel_core.py:187-193):
+
+        disp = x_crop * Dz          (input scaled by Dz/6, head *6)
+        vel  = x_crop * vel_fac     (dx == 0; x0 * vel_fac*6/Dz term)
+
+    This pins the residual wiring, the Dz/6 input normalization, and the
+    velocity-head formula independently of any learned behavior.
+    """
+
+    def _zero(self, tree):
+        return jax.tree.map(jnp.zeros_like, tree)
+
+    def test_premod_disp_reduces_to_residual(self, x):
+        model = NBodyEmulatorCore(**CFG)
+        params = self._zero(model.init(KEY))
+        Dz = 0.73
+        y = model.apply(params, x[:1], Dz)
+        m = input_margin(CFG["levels"])
+        expect = np.asarray(x[:1, :, m:-m, m:-m, m:-m]) * Dz
+        np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-5, atol=1e-6)
+
+    def test_premod_vel_reduces_to_linear_velocity(self, x):
+        model = NBodyEmulatorVelCore(**CFG)
+        params = self._zero(model.init(KEY))
+        Dz, vel_fac = 0.73, 0.41
+        d, v = model.apply(params, x[:1], Dz, vel_fac)
+        m = input_margin(CFG["levels"])
+        crop = np.asarray(x[:1, :, m:-m, m:-m, m:-m])
+        np.testing.assert_allclose(np.asarray(d), crop * Dz, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v), crop * vel_fac, rtol=1e-5, atol=1e-6)
+
+    def test_style_disp_reduces_to_residual(self, x, style_params):
+        model = StyleNBodyEmulatorCore(**CFG)
+        params = self._zero(style_params)
+        Dz = 1.1
+        y = model.apply(params, x[:1], 0.3, Dz)
+        m = input_margin(CFG["levels"])
+        expect = np.asarray(x[:1, :, m:-m, m:-m, m:-m]) * Dz
+        np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-5, atol=1e-6)
+
+    def test_style_vel_reduces_to_linear_velocity(self, x):
+        model = StyleNBodyEmulatorVelCore(**CFG)
+        params = self._zero(model.init(KEY))
+        Dz, vel_fac = 1.1, 0.52
+        d, v = model.apply(params, x[:1], 0.3, Dz, vel_fac)
+        m = input_margin(CFG["levels"])
+        crop = np.asarray(x[:1, :, m:-m, m:-m, m:-m])
+        np.testing.assert_allclose(np.asarray(d), crop * Dz, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v), crop * vel_fac, rtol=1e-5, atol=1e-6)
