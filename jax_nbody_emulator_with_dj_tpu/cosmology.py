@@ -22,6 +22,7 @@ from jax.scipy.special import hyp2f1
 
 __all__ = [
     "growth_factor",
+    "growth_d_approx",
     "hubble_rate",
     "growth_rate",
     "dlogD_dz",
@@ -135,3 +136,30 @@ def acc_norm(z, Om):
         * dlogH_dloga(z, Om)
         / (1.0 + z)
     )
+
+
+def growth_d_approx(Om, z):
+    """Carroll-Press-Turner (1992) closed-form growth-factor fit.
+
+    Compatibility port of the reference's ``growth_D_approx``
+    (``/root/reference/scripts/utils.py:86-96``), which Quijote-comparison
+    workflows use to rescale z=127 ICs to z=0.  Returns the *unnormalized*
+    growth (a * g(a) with the CPT fitting function), matching the reference:
+    only ratios growth_d_approx(Om, z1)/growth_d_approx(Om, z2) are
+    meaningful.
+
+    The package's own pipelines rescale with the exact hypergeometric
+    :func:`growth_factor` ratio instead (accurate to float precision where
+    the CPT fit is ~1e-3); this helper exists to reproduce reference
+    numbers bit-comparably when cross-validating against its outputs.
+    """
+    Om = jnp.asarray(Om, dtype=jnp.float32)
+    zp1 = 1.0 + jnp.asarray(z, dtype=jnp.float32)
+    ol0 = 1.0 - Om
+    e2 = ol0 + Om * zp1**3  # H^2/H0^2 (flat LCDM, matter + Lambda)
+    om_z = Om * zp1**3 / e2
+    ol_z = ol0 / e2
+    g = 2.5 * om_z / (
+        om_z ** (4.0 / 7.0) - ol_z + (1.0 + 0.5 * om_z) * (1.0 + ol_z / 70.0)
+    )
+    return g / zp1

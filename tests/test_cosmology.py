@@ -186,3 +186,47 @@ class TestTransforms:
             out = np.asarray(fn(z, om))
             assert out.shape == (11, 9)
             assert np.all(np.isfinite(out)), fn.__name__
+
+
+class TestGrowthDApprox:
+    """CPT-fit compatibility helper (reference utils.py:86-96)."""
+
+    def test_matches_reference_formula(self):
+        from jax_nbody_emulator_with_dj_tpu.cosmology import growth_d_approx
+
+        def ref(om0_m, z):
+            om0_l = 1.0 - om0_m
+            zp1 = 1.0 + z
+            e2 = om0_l + om0_m * zp1**3
+            om_m = om0_m * zp1**3 / e2
+            om_l = om0_l / e2
+            return (1.0 / zp1) * (2.5 * om_m) / (
+                om_m ** (4.0 / 7.0) - om_l + (1.0 + om_m / 2.0) * (1.0 + om_l / 70.0)
+            )
+
+        for om in (0.1, 0.3175, 0.5):
+            for z in (0.0, 0.5, 2.0, 127.0):
+                np.testing.assert_allclose(
+                    float(growth_d_approx(om, z)), ref(om, z), rtol=1e-6
+                )
+
+    def test_ratio_close_to_exact_growth(self):
+        """The fit's z=127 -> z=0 rescale ratio is within ~0.2% of exact D."""
+        from jax_nbody_emulator_with_dj_tpu.cosmology import (
+            growth_d_approx,
+            growth_factor,
+        )
+
+        om = 0.3175
+        r_fit = float(growth_d_approx(om, 127.0) / growth_d_approx(om, 0.0))
+        r_exact = float(growth_factor(127.0, om) / growth_factor(0.0, om))
+        assert abs(r_fit / r_exact - 1.0) < 2e-3
+
+    def test_eds_limit(self):
+        """Om -> 1: growth is exactly a = 1/(1+z)."""
+        from jax_nbody_emulator_with_dj_tpu.cosmology import growth_d_approx
+
+        for z in (0.0, 1.0, 9.0):
+            np.testing.assert_allclose(
+                float(growth_d_approx(1.0, z)), 1.0 / (1.0 + z), rtol=1e-6
+            )

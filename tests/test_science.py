@@ -96,7 +96,7 @@ class TestPowerSpectrum:
         fz = np.fft.rfftfreq(N, 1 / N) * kf
         km = np.sqrt(fx[:, None, None] ** 2 + fx[None, :, None] ** 2 + fz[None, None, :] ** 2)
         dk[(km < kf / 2) | (km >= kmax)] = 0
-        filtered = np.fft.irfftn(dk, s=(N, N, N))
+        filtered = np.fft.irfftn(dk, s=(N, N, N), axes=(0, 1, 2))
         assert np.isclose(var_pk, filtered.var(), rtol=0.02)
 
     def test_cross_power_self_is_auto(self, grf):
