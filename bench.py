@@ -18,8 +18,17 @@ import argparse
 import json
 import sys
 import time
+import warnings
 
 import numpy as np
+
+# The hierarchical runtime donates the input box into the scale program on
+# purpose: the wrap-padded output can't alias it (different shape), but
+# donation still frees the ~1 GB input buffer the moment the program runs.
+# XLA warns about the non-aliasing; that's the intended behavior here.
+warnings.filterwarnings(
+    "ignore", message="Some donated buffers were not usable"
+)
 
 # Reference A100 numbers at 512^3 (README.md:245-252), keyed by
 # (style, vel, f32).  bf16 rows compare against the reference's fp16 rows.

@@ -437,3 +437,57 @@ class TestCreateEmulatorDispatch:
         )
         params = em.model.init(KEY)
         assert params["params"]["conv_l00"]["conv_0"]["weight"].shape[-1] == 8
+
+
+class TestBundleProcessBoxRuntimes:
+    """NBodyEmulator.process_box must work with every processor_config kind
+    (the reference bundle only ever wraps SubboxProcessor; here the bundle
+    dispatches three runtimes and must filter subbox-only kwargs)."""
+
+    @pytest.mark.slow
+    def test_hierarchical_end_to_end_with_progress_kwargs(self):
+        from jax_nbody_emulator_with_dj_tpu.hierarchical import HierarchicalConfig
+
+        n = 16
+        params = StyleNBodyEmulatorCore(mid_chan=4).init(KEY)
+        cfg = HierarchicalConfig(
+            size=(n,) * 3, slab=8, tile=(8, 8, 8), dtype=jnp.float32,
+            output_dtype=np.float32,
+        )
+        em = create_emulator(
+            params=params, compute_vel=False, processor_config=cfg, mid_chan=4
+        )
+        box = np.asarray(jax.random.normal(KEY, (3, n, n, n), jnp.float32))
+        # desc/show_progress are subbox-only kwargs; the bundle must accept
+        # and drop them for the hierarchical runtime.
+        out = em.process_box(box, 0.5, 0.3, desc="ignored", show_progress=False)
+        assert out.shape == (3, n, n, n)
+        assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+        # Equivalence with the subbox runtime through the same bundle API.
+        cfg_sb = SubboxConfig(size=(n,) * 3, ndiv=(2,) * 3, dtype=jnp.float32)
+        em_sb = create_emulator(
+            params=params, compute_vel=False, processor_config=cfg_sb, mid_chan=4
+        )
+        ref = em_sb.process_box(box, 0.5, 0.3, show_progress=False)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+    @pytest.mark.slow
+    def test_chunked_end_to_end(self):
+        from jax_nbody_emulator_with_dj_tpu.chunked import (
+            ChunkedHierarchicalConfig,
+        )
+
+        n = 128
+        params = StyleNBodyEmulatorCore(mid_chan=4).init(KEY)
+        cfg = ChunkedHierarchicalConfig(
+            size=(n,) * 3, chunks=(2, 1, 1), pad=48, slab=16, tile=(16, 16, 16),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        em = create_emulator(
+            params=params, compute_vel=False, processor_config=cfg, mid_chan=4
+        )
+        box = np.asarray(jax.random.normal(KEY, (3, n, n, n), jnp.float32))
+        out = em.process_box(box, 0.5, 0.3)
+        assert out.shape == (3, n, n, n)
+        assert np.all(np.isfinite(np.asarray(out, np.float32)))
