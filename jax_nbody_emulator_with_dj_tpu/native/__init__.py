@@ -46,25 +46,52 @@ def _compile_and_load(name: str, extra_flags: tuple[str, ...] = ()):
         src = src_path.read_bytes()
         tag = hashlib.sha256(src).hexdigest()[:16]
         so = _cache_dir() / f"{name}_{tag}.so"
+
+        def build():
+            # per-process temp name: concurrent first-use builds (pytest
+            # workers, pod hosts on a shared cache) must not interleave
+            # writes before the atomic publish
+            tmp = so.parent / f"{so.name}.build.{os.getpid()}"
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     *extra_flags, str(src_path), "-o", str(tmp)],
+                    check=True, capture_output=True, timeout=300,
+                )
+                os.replace(tmp, so)
+            finally:
+                tmp.unlink(missing_ok=True)
+
         if not so.exists():
-            tmp = so.with_suffix(".so.build")
-            subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                 *extra_flags, str(src_path), "-o", str(tmp)],
-                check=True, capture_output=True, timeout=300,
-            )
-            os.replace(tmp, so)
-        return ctypes.CDLL(str(so))
+            build()
+        try:
+            return ctypes.CDLL(str(so))
+        except OSError:
+            # a stale/corrupted cache entry: rebuild once before giving up
+            so.unlink(missing_ok=True)
+            build()
+            return ctypes.CDLL(str(so))
     except Exception:
         return None
 
 
+def _get_lib(name: str, configure):
+    """Cached compile+load of one kernel library; ``configure`` sets the
+    ctypes signatures on first successful load.  None on failure (cached
+    too, so a broken toolchain is probed once per process)."""
+    if name in _CACHE:
+        return _CACHE[name]
+    lib = _compile_and_load(name)
+    if lib is not None:
+        configure(lib)
+    _CACHE[name] = lib
+    return lib
+
+
 def _load_library():
     """The FoF kernel library (compiled on demand); None on failure."""
-    if "lib" in _CACHE:
-        return _CACHE["lib"]
-    lib = _compile_and_load("fof")
-    if lib is not None:
+
+    def configure(lib):
         lib.fof_labels.restype = ctypes.c_int
         lib.fof_labels.argtypes = [
             ctypes.POINTER(ctypes.c_float),
@@ -73,8 +100,8 @@ def _load_library():
             ctypes.c_double,
             ctypes.POINTER(ctypes.c_int64),
         ]
-    _CACHE["lib"] = lib
-    return lib
+
+    return _get_lib("fof", configure)
 
 
 def native_fof_available() -> bool:
@@ -105,18 +132,15 @@ def fof_labels(positions: np.ndarray, boxsize: float, linking_length: float):
 
 
 def _load_staging():
-    if "staging" in _CACHE:
-        return _CACHE["staging"]
-    lib = _compile_and_load("staging")
-    if lib is not None:
+    def configure(lib):
         lib.periodic_gather.restype = ctypes.c_int
         lib.periodic_gather.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p,
             *([ctypes.c_int64] * 11),
             ctypes.c_int,
         ]
-    _CACHE["staging"] = lib
-    return lib
+
+    return _get_lib("staging", configure)
 
 
 def native_staging_available() -> bool:

@@ -15,6 +15,23 @@ from jax.sharding import Mesh
 SPATIAL_AXES = ("x", "y", "z")
 
 
+def shard_linear_index(mesh_shape):
+    """Row-major linear index of this shard in the spatial mesh.
+
+    Only valid inside ``shard_map`` over ``SPATIAL_AXES``.  The canonical
+    shard enumeration for per-shard PRNG streams (``fold_in(key, index)``)
+    — one definition so the GRF, LPT, and resize paths can never
+    desynchronize.
+    """
+    from jax import lax
+
+    mx, my, mz = mesh_shape
+    del mx  # the leading axis never multiplies into the index
+    return (
+        lax.axis_index("x") * my + lax.axis_index("y")
+    ) * mz + lax.axis_index("z")
+
+
 def make_mesh(shape=(1, 1, 1), axis_names=SPATIAL_AXES, devices=None) -> Mesh:
     """Create a 3D spatial mesh over the given (or all) devices."""
     if devices is None:

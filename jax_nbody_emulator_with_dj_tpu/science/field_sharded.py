@@ -31,10 +31,15 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..parallel.mesh import SPATIAL_AXES
+from ..parallel.mesh import SPATIAL_AXES, shard_linear_index
 from .grf import _interp_pk
 from .mas import _base_and_frac, _kernel_weights
-from .powerspec_sharded import _check_geometry, _fft3_local, _local_kmag
+from .powerspec_sharded import (
+    _check_geometry,
+    _fft3_local,
+    _local_kmag,
+    _local_kvec,
+)
 
 
 def _ifft3_local(x, mesh_shape):
@@ -56,20 +61,6 @@ def _ifft3_local(x, mesh_shape):
     if mx > 1:
         x = lax.all_to_all(x, "x", split_axis=0, concat_axis=1, tiled=True)
     return x
-
-
-def _local_kvec(n: int, boxsize: float, mesh_shape):
-    """Per-axis physical wavenumbers (1D) for this shard's global block."""
-    mx, my, mz = mesh_shape
-    kf = 2.0 * np.pi / boxsize
-
-    def freq(i):
-        return jnp.where(i < (n + 1) // 2, i, i - n).astype(jnp.float32)
-
-    i0 = lax.axis_index("x") * (n // mx) + jnp.arange(n // mx)
-    i1 = lax.axis_index("y") * (n // my) + jnp.arange(n // my)
-    i2 = lax.axis_index("z") * (n // mz) + jnp.arange(n // mz)
-    return freq(i0) * kf, freq(i1) * kf, freq(i2) * kf
 
 
 def _shard_and_put(mesh: Mesh, *fields, rank=3):
@@ -130,9 +121,7 @@ def gaussian_random_field_sharded(
         return jax.jit(prog)(_shard_and_put(mesh, white))
 
     def draw_and_color(k):
-        sidx = (
-            lax.axis_index("x") * my + lax.axis_index("y")
-        ) * mz + lax.axis_index("z")
+        sidx = shard_linear_index(mesh_shape)
         w = jax.random.normal(jax.random.fold_in(k, sidx), local, jnp.float32)
         return color(w)
 
@@ -281,12 +270,19 @@ def deposit_displacement_sharded(
     cell = boxsize / n
     psi = _shard_and_put(mesh, psi, rank=4)
     if check_margin:
-        need = float(jnp.max(jnp.abs(psi))) / cell + worder
-        if need > margin:
-            raise ValueError(
-                f"margin {margin} cells < max displacement {need:.1f} cells; "
-                f"raise margin= (mass would clamp to the pad edge)"
-            )
+        # Only sharded axes need margin: fully-local axes wrap periodically
+        # (margin 0), so their displacement components are unconstrained.
+        comp_max = np.asarray(jnp.max(jnp.abs(psi), axis=(1, 2, 3)))
+        for d in range(3):
+            if mesh_shape[d] == 1:
+                continue
+            need = float(comp_max[d]) / cell + worder
+            if need > margin:
+                raise ValueError(
+                    f"margin {margin} cells < axis-{d} max displacement "
+                    f"{need:.1f} cells; raise margin= (mass would clamp to "
+                    f"the pad edge)"
+                )
     local = tuple(n // m for m in mesh_shape)
     margins = tuple(margin if m > 1 else 0 for m in mesh_shape)
     for ln, mg, m in zip(local, margins, mesh_shape):

@@ -159,12 +159,24 @@ def friends_of_friends(
     b = float(linking_length)
     L = float(boxsize)
 
+    # Normalize slightly out-of-contract inputs (file-format rounding can
+    # leave coordinates a few ulp below 0 / at L) so both engines see the
+    # same in-[0, L) catalog and behave identically.
+    if n_p and (float(pos.min()) < 0.0 or float(pos.max()) >= L):
+        pos = np.mod(pos, np.float32(L))
+        pos[pos >= L] = 0.0  # f32 mod of a tiny negative can round to L
+
     if engine not in ("auto", "numpy", "native"):
         raise ValueError(f"engine must be auto/numpy/native, got {engine!r}")
     if engine in ("auto", "native"):
         from ..native import fof_labels as native_fof
 
-        roots = native_fof(pos, L, b) if n_p else np.zeros(0, np.int64)
+        try:
+            roots = native_fof(pos, L, b) if n_p else np.zeros(0, np.int64)
+        except Exception:
+            if engine == "native":
+                raise
+            roots = None  # auto: any native failure falls back to numpy
         if roots is not None:
             return _finalize_groups(pos, roots, L, nmin)
         if engine == "native":
@@ -174,7 +186,13 @@ def friends_of_friends(
     ncell = max(1, int(np.floor(L / b)))
     ncell = min(ncell, 2048)  # cap the id space; cells only get bigger
     cell_w = L / ncell
-    ci = np.clip((pos / cell_w).astype(np.int64), 0, ncell - 1)
+    # Quotient in float64, matching the native kernel (fof.cpp:77): an f32
+    # quotient can misassign a boundary particle by one cell when cell_w
+    # is within an f32 ulp of b, silently dropping genuine links.
+    ci = np.empty((n_p, 3), np.int64)
+    for d in range(3):
+        ci[:, d] = pos[:, d].astype(np.float64) / cell_w
+    np.clip(ci, 0, ncell - 1, out=ci)
     cid = (ci[:, 0] * ncell + ci[:, 1]) * ncell + ci[:, 2]
     del ci
 
@@ -193,8 +211,12 @@ def friends_of_friends(
     parent = np.arange(n_p, dtype=np.int64)
 
     def link_pairs(ia, ib):
-        """Distance-filter candidate particle pairs and union them."""
-        d = np.abs(pos[ia] - pos[ib])
+        """Distance-filter candidate particle pairs and union them.
+
+        Distances evaluate in float64, matching the native kernel
+        (fof.cpp:146), so the two engines give identical link verdicts for
+        pairs within f32 rounding of the |d| == b threshold."""
+        d = np.abs(pos[ia].astype(np.float64) - pos[ib].astype(np.float64))
         d = np.minimum(d, L - d)  # periodic minimum image
         hit = (d[:, 0] <= b) & (d[:, 1] <= b) & (d[:, 2] <= b)
         hit &= (d * d).sum(axis=1) <= b * b
@@ -224,39 +246,74 @@ def friends_of_friends(
         return order[ia], order[ib]
 
     n_occ = len(uniq)
-    # Chunk over occupied cells so each expansion stays ~`chunk` pairs.
-    mean_occ = max(1.0, n_p / max(n_occ, 1))
-    cells_per_batch = max(1, int(chunk / (mean_occ * mean_occ)))
+
+    def stream_dense_pair(c, p, dedupe):
+        """One cell pair whose product alone exceeds `chunk`: stream row
+        blocks of cell c against all of cell p (dense halo cores make
+        single-cell products of 10^8+ pairs; a one-shot expand there would
+        break the O(N) peak-memory contract).  ``dedupe`` is '<' for the
+        self cell (each unordered pair once), '!=' on tiny wrapped grids,
+        None otherwise."""
+        n1, n2 = int(counts[c]), int(counts[p])
+        ib_all = order[starts[p]: starts[p] + n2]
+        rows = max(1, chunk // n2)
+        for r0 in range(0, n1, rows):
+            ia_rows = order[starts[c] + r0: starts[c] + min(r0 + rows, n1)]
+            ia = np.repeat(ia_rows, n2)
+            ib = np.tile(ib_all, len(ia_rows))
+            if dedupe == "<":
+                keep = ia < ib
+                ia, ib = ia[keep], ib[keep]
+            elif dedupe == "!=":
+                keep = ia != ib
+                ia, ib = ia[keep], ib[keep]
+            link_pairs(ia, ib)
+
+    # Per neighbor offset: resolve every occupied partner cell up front,
+    # then split into batches by the CUMULATIVE candidate-pair count (not
+    # mean occupancy — clustered inputs put 100-1000x the mean in halo-core
+    # cells, which would blow a mean-sized batch up by orders of magnitude).
     for dx, dy, dz in _HALF_OFFSETS:
         self_pair = (dx, dy, dz) == (0, 0, 0)
-        for s0 in range(0, n_occ, cells_per_batch):
-            sel = np.arange(s0, min(s0 + cells_per_batch, n_occ))
-            if self_pair:
-                c_idx = sel[counts[sel] > 1]
-                if not len(c_idx):
-                    continue
-                ia, ib = expand(c_idx, c_idx)
-                keep = ia < ib  # dedupe within-cell pairs
-                link_pairs(ia[keep], ib[keep])
-                continue
-            # periodic partner cell of each occupied cell in this batch
-            px = (ux[sel] + dx) % ncell
-            py = (uy[sel] + dy) % ncell
-            pz = (uz[sel] + dz) % ncell
+        if self_pair:
+            c_all = np.nonzero(counts > 1)[0]
+            p_all = c_all
+        else:
+            px = (ux + dx) % ncell
+            py = (uy + dy) % ncell
+            pz = (uz + dz) % ncell
             pid = (px * ncell + py) * ncell + pz
             p_idx = np.searchsorted(uniq, pid)
             p_idx = np.clip(p_idx, 0, n_occ - 1)
             occupied = uniq[p_idx] == pid
             if ncell <= 2:
                 # degenerate tiny grids: offset wraps onto the same cell
-                occupied &= pid != uniq[sel]
-            if not occupied.any():
-                continue
-            ia, ib = expand(sel[occupied], p_idx[occupied])
-            if ncell <= 2:
-                keep = ia != ib
-                ia, ib = ia[keep], ib[keep]
-            link_pairs(ia, ib)
+                occupied &= pid != uniq
+            c_all = np.nonzero(occupied)[0]
+            p_all = p_idx[occupied]
+        if not len(c_all):
+            continue
+        tot = counts[c_all] * counts[p_all]
+        csum = np.cumsum(tot)
+        s0 = 0
+        base = 0
+        while s0 < len(c_all):
+            s1 = int(np.searchsorted(csum, base + chunk, side="right"))
+            s1 = max(s1, s0 + 1)
+            if s1 == s0 + 1 and tot[s0] > chunk:
+                dedupe = "<" if self_pair else ("!=" if ncell <= 2 else None)
+                stream_dense_pair(int(c_all[s0]), int(p_all[s0]), dedupe)
+            else:
+                ia, ib = expand(c_all[s0:s1], p_all[s0:s1])
+                if self_pair:
+                    keep = ia < ib  # dedupe within-cell pairs
+                    ia, ib = ia[keep], ib[keep]
+                elif ncell <= 2:
+                    keep = ia != ib
+                    ia, ib = ia[keep], ib[keep]
+                link_pairs(ia, ib)
+            base = int(csum[s1 - 1])
+            s0 = s1
 
     roots = _find_roots(parent, np.arange(n_p, dtype=np.int64))
     return _finalize_groups(pos, roots, L, nmin)
@@ -453,7 +510,14 @@ def empirical_hmf(
     """
     n = np.asarray(lengths, np.float64)
     if fof_correction:
+        # the correction maps n=1 to mass 0 (log10 -> -inf); singletons
+        # carry no HMF weight, so drop them instead of crashing
+        n = n[n > 1]
         n = n * (1.0 - n**-0.6)
+    if not len(n):
+        raise ValueError(
+            "no groups with corrected mass > 0 (all multiplicities were 1)"
+        )
     masses = n * particle_mass
     logm = np.log10(masses)
     lo = np.floor(logm.min() * bins_per_dex) / bins_per_dex

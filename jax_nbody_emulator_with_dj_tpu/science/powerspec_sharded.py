@@ -85,8 +85,9 @@ def _fft3_local(x, mesh_shape):
     return x
 
 
-def _local_kmag(n: int, boxsize: float, mesh_shape):
-    """|k| for this shard's global block of the full (non-rfft) k grid."""
+def _local_kvec(n: int, boxsize: float, mesh_shape):
+    """Per-axis physical wavenumbers (1D) for this shard's global block
+    of the full (non-rfft) k grid (fftfreq semantics)."""
     mx, my, mz = mesh_shape
     kf = 2.0 * np.pi / boxsize
 
@@ -96,7 +97,12 @@ def _local_kmag(n: int, boxsize: float, mesh_shape):
     i0 = lax.axis_index("x") * (n // mx) + jnp.arange(n // mx)
     i1 = lax.axis_index("y") * (n // my) + jnp.arange(n // my)
     i2 = lax.axis_index("z") * (n // mz) + jnp.arange(n // mz)
-    kx, ky, kz = freq(i0) * kf, freq(i1) * kf, freq(i2) * kf
+    return freq(i0) * kf, freq(i1) * kf, freq(i2) * kf
+
+
+def _local_kmag(n: int, boxsize: float, mesh_shape):
+    """|k| for this shard's global block of the full (non-rfft) k grid."""
+    kx, ky, kz = _local_kvec(n, boxsize, mesh_shape)
     return jnp.sqrt(
         kx[:, None, None] ** 2 + ky[None, :, None] ** 2 + kz[None, None, :] ** 2
     )

@@ -19,11 +19,20 @@ from .grf import _interp_pk, white_noise_field
 def _axis_map(n_in: int, n_out: int):
     """Frequency index map (src, dst, weight) for one full FFT axis.
 
-    Frequencies |f| < n_in/2 map directly; the coarse Nyquist f = n_in/2
-    (self-conjugate in the coarse grid) splits half-half onto +-n_in/2 in the
-    fine grid, preserving Hermitian symmetry and total power.
+    Even n_in: frequencies |f| < n_in/2 map directly; the coarse Nyquist
+    f = n_in/2 (self-conjugate in the coarse grid) splits half-half onto
+    +-n_in/2 in the fine grid, preserving Hermitian symmetry and total
+    power.  Odd n_in has no self-conjugate Nyquist — every mode maps
+    directly with weight 1 (the even-style split would write the same fine
+    index twice).
     """
     h = n_in // 2
+    if n_in % 2:
+        src = np.arange(n_in)
+        dst = np.concatenate(
+            [np.arange(h + 1), np.arange(n_out - h, n_out)]
+        )
+        return src, dst, np.ones(n_in)
     src = list(range(0, h)) + [h, h] + list(range(h + 1, n_in))
     dst = (
         list(range(0, h))

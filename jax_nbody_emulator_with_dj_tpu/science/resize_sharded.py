@@ -28,16 +28,29 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..parallel.mesh import SPATIAL_AXES
-from .field_sharded import _ifft3_local, _local_kvec, _shard_and_put
+from ..parallel.mesh import SPATIAL_AXES, shard_linear_index
+from .field_sharded import _ifft3_local, _shard_and_put
 from .grf import _interp_pk
-from .powerspec_sharded import _check_geometry, _fft3_local, _local_kmag
+from .powerspec_sharded import (
+    _check_geometry,
+    _fft3_local,
+    _local_kmag,
+    _local_kvec,
+)
 
 
 def _axis_src_w(dglob, n_in: int, n_out: int):
     """Inverse of ``resize._axis_map``: coarse source index and weight for
     each fine (full-FFT) frequency index; weight 0 marks injected modes."""
     h = n_in // 2
+    if n_in % 2:
+        # odd n_in: no self-conjugate Nyquist, every mode maps directly
+        lo = dglob <= h
+        hi = dglob >= n_out - h
+        src = jnp.where(
+            lo, dglob, jnp.where(hi, dglob - (n_out - n_in), 0)
+        )
+        return src, (lo | hi).astype(jnp.float32)
     src = jnp.zeros_like(dglob)
     w = jnp.zeros(dglob.shape, jnp.float32)
     lo = dglob < h
@@ -116,9 +129,7 @@ def upsample_modes_sharded(
         )
         dk = low * w3
         if inject:
-            sidx = (
-                lax.axis_index("x") * my + lax.axis_index("y")
-            ) * mz + lax.axis_index("z")
+            sidx = shard_linear_index(mesh_shape)
             if white is None:
                 noise = jax.random.normal(
                     jax.random.fold_in(k, sidx), local, jnp.float32

@@ -48,6 +48,17 @@ def _extend_low(d, mesh_shape):
     return ext
 
 
+def _check_count_capacity(local):
+    """The per-shard Minkowski counts are exact int32 bool-sums; n1/n2 sum
+    up to 3x the shard's voxel count, so guard the int32 range instead of
+    silently wrapping (x64 is disabled, so int64 sums are unavailable)."""
+    if 3 * int(np.prod(local)) > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"local shard {local} exceeds the exact-int32 count capacity "
+            f"(3 * prod(local) > 2^31 - 1); shard over more devices"
+        )
+
+
 def minkowski_functionals_sharded(delta, thresholds, mesh: Mesh):
     """V0..V3 of mesh-sharded excursion sets.
 
@@ -64,6 +75,7 @@ def minkowski_functionals_sharded(delta, thresholds, mesh: Mesh):
         if s % m:
             raise ValueError(f"grid {delta.shape} not divisible by {mesh_shape}")
     local = tuple(s // m for s, m in zip(delta.shape, mesh_shape))
+    _check_count_capacity(local)
     thresholds = jnp.asarray(thresholds, jnp.float32)
     vol = float(np.prod(delta.shape))
 
@@ -106,7 +118,8 @@ def minkowski_functionals_sharded(delta, thresholds, mesh: Mesh):
             ):
                 acc = acc | block(o)
             n0 = jnp.sum(acc)
-            # Combine per shard in int32 (exact: local counts < 2^31), THEN
+            # Combine per shard in int32 (exact: _check_count_capacity
+            # guarantees 3 * prod(local) fits int32), THEN
             # reduce.  The alternating Euler sum chi = n0-n1+n2-n3 is a
             # small topological number per shard, so its int32 psum stays
             # exact at any scale; the monotone combinations are reduced in

@@ -200,3 +200,27 @@ class TestFixedAmplitude:
         )
         scale = ref.std()
         np.testing.assert_allclose(got, ref, rtol=2e-3, atol=5e-4 * scale)
+
+
+class TestPerAxisMarginCheck:
+    """Margin validation must ignore displacement components along
+    fully-local (wrapped, margin-0) axes — those axes need no margin."""
+
+    def test_large_displacement_on_wrapped_axis_accepted(self, delta):
+        psi = np.asarray(zeldovich_displacement(delta, BOX))
+        psi = psi.copy()
+        psi[2] += 30.0  # huge z displacement, z axis unsharded below
+        mesh = make_mesh((4, 2, 1))
+        ref = np.asarray(deposit_displacement(psi, BOX, worder=2))
+        got = np.asarray(
+            deposit_displacement_sharded(psi, mesh, BOX, worder=2, margin=8)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-4)
+
+    def test_large_displacement_on_sharded_axis_still_raises(self, delta):
+        psi = np.asarray(zeldovich_displacement(delta, BOX))
+        psi = psi.copy()
+        psi[0] += 50.0  # x axis IS sharded: must be rejected
+        mesh = make_mesh((4, 2, 1))
+        with pytest.raises(ValueError, match="axis-0"):
+            deposit_displacement_sharded(psi, mesh, BOX, margin=8)

@@ -142,3 +142,50 @@ class TestLinearUpsample:
         lin = upsample_linear(coarse, 32)
         four = upsample_fourier(coarse, 32)
         assert float(jnp.var(lin)) < float(jnp.var(four))
+
+
+class TestOddCoarseGrids:
+    """Odd n_in has no self-conjugate Nyquist: the frequency map must place
+    every coarse mode exactly once (the even-style half-half split would
+    write the same fine index twice, nondeterministically)."""
+
+    def test_axis_map_odd_no_duplicate_dst(self):
+        from jax_nbody_emulator_with_dj_tpu.science.resize import _axis_map
+
+        for n_in, n_out in ((9, 18), (9, 36), (15, 30)):
+            src, dst, wgt = _axis_map(n_in, n_out)
+            assert len(np.unique(dst)) == len(dst)
+            assert np.all(wgt == 1.0)
+            assert len(src) == n_in
+
+    def test_upsample_fourier_odd_passes_through_samples(self):
+        """Band-limited interpolation interpolates the coarse samples
+        exactly: fine[::r] == coarse."""
+        from jax_nbody_emulator_with_dj_tpu.science.resize import (
+            upsample_fourier,
+        )
+
+        rng = np.random.default_rng(0)
+        coarse = rng.normal(size=(9, 9, 9)).astype(np.float32)
+        fine = np.asarray(upsample_fourier(coarse, 18))
+        np.testing.assert_allclose(
+            fine[::2, ::2, ::2], coarse, rtol=1e-4, atol=1e-5
+        )
+
+    def test_upsample_fourier_odd_injects_no_power(self):
+        """All fine modes outside the coarse band must be exactly zero."""
+        from jax_nbody_emulator_with_dj_tpu.science.resize import (
+            upsample_fourier,
+        )
+
+        rng = np.random.default_rng(1)
+        n_in, n_out = 9, 18
+        coarse = rng.normal(size=(n_in,) * 3).astype(np.float32)
+        fine = np.asarray(upsample_fourier(coarse, n_out))
+        fk = np.fft.fftn(fine)
+        f = np.fft.fftfreq(n_out, d=1.0 / n_out)
+        outside = np.abs(f) > n_in // 2
+        mask = (
+            outside[:, None, None] | outside[None, :, None] | outside[None, None, :]
+        )
+        assert np.abs(fk[mask]).max() < 1e-3 * np.abs(fk).max()

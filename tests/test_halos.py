@@ -346,3 +346,98 @@ class TestNativeEngine:
             friends_of_friends(
                 np.zeros((4, 3), np.float32), 1.0, 0.1, engine="gpu"
             )
+
+
+class TestReviewRegressions:
+    """Regressions for the round-3 review findings (engine fp parity,
+    clustered batching, out-of-contract inputs, HMF singletons)."""
+
+    def test_chain_across_cell_boundaries_single_group(self):
+        """A chain of particles spaced just under b spanning the box must be
+        ONE group: an f32 cell-index quotient can misassign a boundary
+        particle by a cell and silently drop genuine links (the engines now
+        both divide in float64)."""
+        box = 100.0
+        b = box / 256 * (1 + 1e-7)  # cell_w within rounding of the spacing
+        step = b * (1 - 1e-6)
+        xs = np.arange(0, box - b, step, dtype=np.float64)
+        pos = np.zeros((len(xs), 3), np.float32)
+        pos[:, 0] = xs
+        pos[:, 1] = pos[:, 2] = 50.0
+        out = friends_of_friends(pos, box, b, nmin=2, engine="numpy")
+        assert out["n_groups"] == 1
+        assert out["lengths"][0] == len(xs)
+
+    def test_tiny_chunk_matches_default_on_clustered_input(self):
+        """Cumsum pair batching + dense-cell streaming must give identical
+        results at any chunk size (chunk=64 forces both the multi-batch and
+        the single-dense-cell-pair streaming paths)."""
+        rng = np.random.default_rng(11)
+        core = rng.normal(scale=0.3, size=(60, 3)) + 25.0  # one dense cell
+        spread = rng.uniform(0, 50.0, size=(300, 3))
+        pos = np.concatenate([core, spread]).astype(np.float32) % 50.0
+        ref = friends_of_friends(pos, 50.0, 1.0, nmin=2, engine="numpy")
+        got = friends_of_friends(
+            pos, 50.0, 1.0, nmin=2, engine="numpy", chunk=64
+        )
+        np.testing.assert_array_equal(ref["labels"], got["labels"])
+        np.testing.assert_array_equal(ref["lengths"], got["lengths"])
+
+    def test_slightly_out_of_range_positions_accepted(self):
+        """Coordinates a few ulp below 0 / at L (file-format rounding) are
+        wrapped into [0, L) instead of crashing the native engine or
+        diverging between engines."""
+        rng = np.random.default_rng(12)
+        pos = rng.uniform(0, 30.0, size=(200, 3)).astype(np.float32)
+        pos[0] = [-1e-6, 5.0, 5.0]
+        pos[1] = [30.0, 5.0, 5.0]  # == L exactly
+        out = friends_of_friends(pos, 30.0, 1.0, nmin=1, engine="auto")
+        ref = friends_of_friends(pos, 30.0, 1.0, nmin=1, engine="numpy")
+        assert out["n_groups"] == ref["n_groups"]
+        np.testing.assert_array_equal(out["lengths"], ref["lengths"])
+
+    def test_empirical_hmf_tolerates_singletons(self):
+        """n=1 maps to corrected mass 0 (log -inf) — singletons must be
+        dropped, not crash the histogram."""
+        centers, dn, err = empirical_hmf(
+            np.array([1, 1, 5, 30, 200]), 1e12, 100.0
+        )
+        assert np.all(np.isfinite(centers))
+        assert np.isclose(np.sum(dn > 0), 3, atol=1)  # 3 surviving groups
+
+    def test_empirical_hmf_all_singletons_raises(self):
+        with pytest.raises(ValueError, match="corrected mass"):
+            empirical_hmf(np.array([1, 1, 1]), 1e12, 100.0)
+
+
+class TestNativeCacheRecovery:
+    """A corrupted cached .so (e.g. a torn concurrent write) must be
+    rebuilt on next load, not permanently disable the native engine."""
+
+    def test_corrupted_so_is_rebuilt(self, tmp_path, monkeypatch):
+        """Model a fresh process finding a torn cache entry: the corrupt
+        file exists at the expected path BEFORE any dlopen (overwriting an
+        already-loaded .so in-process would corrupt live mappings)."""
+        import hashlib
+        from pathlib import Path
+
+        from jax_nbody_emulator_with_dj_tpu import native
+
+        monkeypatch.setenv("JAX_NBODY_NATIVE_CACHE", str(tmp_path))
+        saved = dict(native._CACHE)
+        native._CACHE.clear()
+        try:
+            src = Path(native.__file__).with_name("fof.cpp").read_bytes()
+            tag = hashlib.sha256(src).hexdigest()[:16]
+            so = tmp_path / f"fof_{tag}.so"
+            so.write_bytes(b"not an ELF file")
+            if not native.native_fof_available():
+                pytest.skip("native kernel did not build (no toolchain)")
+            pos = np.random.default_rng(0).uniform(0, 10, (50, 3)).astype(
+                np.float32
+            )
+            assert native.fof_labels(pos, 10.0, 0.5) is not None
+            assert so.read_bytes()[:4] == b"\x7fELF"  # rebuilt in place
+        finally:
+            native._CACHE.clear()
+            native._CACHE.update(saved)

@@ -103,3 +103,32 @@ class TestDownsampleSmooth:
         ref = np.asarray(gaussian_smooth(f, BOX, 5.0))
         got = np.asarray(gaussian_smooth_sharded(f, mesh, BOX, 5.0))
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestOddCoarse:
+    def test_fourier_odd_n_in_matches_single_device(self):
+        """Odd coarse grids (no self-conjugate Nyquist) must map every mode
+        exactly once in the sharded gather too."""
+        coarse = np.asarray(
+            jax.random.normal(jax.random.key(8), (9,) * 3, jnp.float32)
+        )
+        mesh = make_mesh((2, 2, 2))
+        ref = np.asarray(upsample_fourier(coarse, 36))
+        got = np.asarray(upsample_fourier_sharded(coarse, 36, mesh))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4 * scale)
+
+    def test_modes_odd_n_in_matches_single_device(self, pk_table):
+        k, p = pk_table
+        key = jax.random.key(9)
+        coarse = np.asarray(
+            jax.random.normal(jax.random.key(10), (9,) * 3, jnp.float32)
+        )
+        white = np.asarray(jax.random.normal(key, (36,) * 3, jnp.float32))
+        ref = np.asarray(upsample_modes(coarse, 36, BOX, k, p, key=key))
+        mesh = make_mesh((2, 2, 2))
+        got = np.asarray(
+            upsample_modes_sharded(coarse, 36, mesh, BOX, k, p, white=white)
+        )
+        scale = ref.std()
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=5e-4 * scale)

@@ -81,3 +81,17 @@ class TestShardedBispectrum:
         np.testing.assert_allclose(got["Q"], ref["Q"], rtol=2e-3, atol=1e-6)
         np.testing.assert_allclose(got["P1"], ref["P1"], rtol=2e-3)
         np.testing.assert_allclose(got["P3"], ref["P3"], rtol=2e-3)
+
+
+class TestCountCapacityGuard:
+    def test_oversized_shard_rejected(self):
+        """Per-shard int32 bool-sums wrap above 2^31; the guard must refuse
+        shards whose 3x voxel count exceeds int32 instead of silently
+        returning garbage V0-V2."""
+        from jax_nbody_emulator_with_dj_tpu.science.stats_sharded import (
+            _check_count_capacity,
+        )
+
+        _check_count_capacity((1024, 1024, 512))  # 3*2^29 fits
+        with pytest.raises(ValueError, match="int32"):
+            _check_count_capacity((2048, 2048, 512))  # 3*2^31 does not
