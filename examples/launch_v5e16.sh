@@ -64,9 +64,15 @@ gcloud compute tpus tpu-vm ssh "${TPU_NAME}" --worker=all --zone "${ZONE}" \
     python3 examples/run_pod.py ${RUN_ARGS[*]} --out-dir ${OUT_DIR}"
 
 echo ">> [4/4] fetch per-shard outputs from every worker"
-mkdir -p "${OUT_DIR}"
+# OUT_DIR may be absolute (remote scratch disk) or relative to the remote
+# home; fetch from wherever step 3 actually wrote.
+case "${OUT_DIR}" in
+  /*) REMOTE_OUT="${OUT_DIR}" ; LOCAL_OUT="pod_out" ;;
+  *)  REMOTE_OUT="~/${OUT_DIR}" ; LOCAL_OUT="${OUT_DIR}" ;;
+esac
+mkdir -p "${LOCAL_OUT}"
 gcloud compute tpus tpu-vm scp --worker=all --recurse --zone "${ZONE}" \
-  "${TPU_NAME}:~/${OUT_DIR}/*" "${OUT_DIR}/" || true
+  "${TPU_NAME}:${REMOTE_OUT}/*" "${LOCAL_OUT}/" || true
 
-echo ">> done. Outputs in ${OUT_DIR}/ — delete the slice when finished:"
+echo ">> done. Outputs in ${LOCAL_OUT}/ — delete the slice when finished:"
 echo "   gcloud compute tpus tpu-vm delete ${TPU_NAME} --zone ${ZONE}"

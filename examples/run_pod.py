@@ -105,11 +105,23 @@ def main():
     shard = tuple(s // m for s, m in zip(size, mesh_shape))
     tiles = tuple(args.tiles) if args.tiles else tuple(max(1, s // 128) for s in shard)
 
+    fold = modulate_emulator_parameters_vel if args.vel else modulate_emulator_parameters
     if args.params:
-        params = load_params_npz(args.params)
+        # Same normalization as create_emulator: reference-layout (OIDHW)
+        # kernels are converted, and a style-layout tree is folded at
+        # (z, Om) for the plain cores used below.
+        from jax_nbody_emulator_with_dj_tpu.emulator import ensure_native_layout
+
+        params = ensure_native_layout(load_params_npz(args.params))
+        has_style = any(
+            "style_weight" in layer
+            for block in params["params"].values()
+            for layer in block.values()
+        )
+        if has_style:
+            params = fold(params, z=args.z, Om=args.Om)
     else:
         style = StyleNBodyEmulatorVelCore(mid_chan=args.mid_chan).init(jax.random.key(0))
-        fold = modulate_emulator_parameters_vel if args.vel else modulate_emulator_parameters
         params = fold(style, z=args.z, Om=args.Om)
     model = (NBodyEmulatorVelCore if args.vel else NBodyEmulatorCore)(mid_chan=args.mid_chan)
 

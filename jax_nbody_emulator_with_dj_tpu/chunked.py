@@ -176,6 +176,57 @@ class ChunkedHierarchicalProcessor:
                              static_argnums=(1,), donate_argnums=(0,))
         self._crop_scatter = jax.jit(_crop_scatter, donate_argnums=(0,))
 
+    def _resume_fingerprint(self, input_box, z, Om) -> str:
+        """Identity of one (input, cosmology, geometry) run for resume_dir.
+
+        Chunk files are keyed by anchor only, so resuming with a different
+        input box / (z, Om) / decomposition would silently assemble stale
+        chunks; this fingerprint (hash of a strided input sample plus the
+        run parameters — cheap even for multi-GiB boxes) catches that.
+        """
+        import hashlib
+
+        cfg = self.config
+        stride = max(1, input_box.shape[-1] // 16)
+        sample = np.ascontiguousarray(
+            np.asarray(input_box[..., ::stride, ::stride, ::stride],
+                       np.float32)
+        )
+        h = hashlib.sha256()
+        h.update(sample.tobytes())
+        h.update(
+            repr((
+                tuple(input_box.shape), str(np.dtype(input_box.dtype)),
+                float(z), float(Om), cfg.size, cfg.chunks, cfg.pad,
+                str(jnp.dtype(cfg.dtype)), str(np.dtype(cfg.output_dtype)),
+            )).encode()
+        )
+        return h.hexdigest()
+
+    def _check_resume_manifest(self, rdir, input_box, z, Om) -> None:
+        """Refuse to mix chunks from a different run into this one."""
+        manifest = rdir / "manifest.json"
+        fp = self._resume_fingerprint(input_box, z, Om)
+        if manifest.exists():
+            import json
+
+            try:
+                stored = json.loads(manifest.read_text()).get("fingerprint")
+            except (OSError, ValueError):
+                stored = None
+            if stored != fp:
+                raise ValueError(
+                    f"resume_dir {rdir} holds chunks from a different run "
+                    f"(input box, z/Om, or decomposition changed); delete "
+                    f"it or pass a fresh directory"
+                )
+        else:
+            import json
+
+            tmp = manifest.with_suffix(".json.tmp")
+            tmp.write_text(json.dumps({"fingerprint": fp}))
+            tmp.replace(manifest)
+
     def _anchors(self):
         cfg = self.config
         return [
@@ -226,6 +277,7 @@ class ChunkedHierarchicalProcessor:
 
             rdir = Path(resume_dir)
             rdir.mkdir(parents=True, exist_ok=True)
+            self._check_resume_manifest(rdir, input_box, z, Om)
 
             def chunk_files(a):  # noqa: F811 — one file per output array
                 tag = "_".join(str(ai) for ai in a)

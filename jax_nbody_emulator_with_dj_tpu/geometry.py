@@ -47,11 +47,6 @@ _HEADROOM = 0.88  # use at most this fraction of the stated HBM
 MID_CHAN = 64  # the shipped models' interior width (mid_chan)
 
 
-def _even_divisor(n: int, cap: int, mult: int = 2) -> int:
-    """Largest d <= cap with d % mult == 0 and n % d == 0 (mult if none)."""
-    return _largest_divisor(n, cap, mult)
-
-
 def _tile1_for(size, cap: int) -> int:
     half = [s // 2 for s in size]
     for m in range(cap - cap % 8, 7, -8):
@@ -116,10 +111,10 @@ def _monolithic_config(size, dtype, compute_vel, output_dtype, in_chan,
     """The measured v5e geometry rules, generalized to divisible extents."""
     f32 = jnp.dtype(dtype) == jnp.float32
     n = min(size)
-    t = _even_divisor(n, 128)
+    t = _largest_divisor(n, 128, 2)
 
     def ax(i, cap, mult=2):
-        return _even_divisor(size[i], cap, mult)
+        return _largest_divisor(size[i], cap, mult)
 
     if compute_vel:
         wcap = max(t // 2, 4) if f32 else 2 * t
@@ -128,9 +123,9 @@ def _monolithic_config(size, dtype, compute_vel, output_dtype, in_chan,
         tile = (ax(0, t), ax(1, t if f32 else 2 * t), ax(2, 2 * t, mult=4))
     cfg = HierarchicalConfig(
         size=size,
-        slab=_even_divisor(size[0], 64 if compute_vel else 32),
+        slab=_largest_divisor(size[0], 64 if compute_vel else 32, 2),
         slab_h=(
-            _even_divisor(size[1], max(size[1] // 4, 8)) if f32
+            _largest_divisor(size[1], max(size[1] // 4, 8), 2) if f32
             else (size[1] // 2 if compute_vel and size[1] >= 256 else None)
         ),
         tile=tile,
@@ -144,12 +139,11 @@ def _monolithic_config(size, dtype, compute_vel, output_dtype, in_chan,
     # transients scale with tile volume, buffers don't move.
     budget = hbm_bytes * _HEADROOM
     while estimate_peak_bytes(cfg, compute_vel, mid_chan) > budget:
-        td, th, tw = cfg.tile
         order = sorted(range(3), key=lambda i: -cfg.tile[i])
         for ax in order:
             cur = cfg.tile[ax]
             mult = 4 if ax == 2 else 2
-            nxt = _even_divisor(size[ax], cur // 2, mult=mult)
+            nxt = _largest_divisor(size[ax], cur // 2, mult)
             if nxt < cur:
                 tile = list(cfg.tile)
                 tile[ax] = nxt
@@ -235,7 +229,14 @@ def auto_hierarchical_config(
             ccfg.inner_size, dtype, compute_vel, output_dtype, in_chan,
             hbm_bytes, mid_chan,
         )
-        if estimate_peak_bytes(inner, compute_vel, mid_chan) <= hbm_bytes * _HEADROOM:
+        # The chunked runtime prefetches the NEXT padded input chunk while
+        # the current one computes (chunked.py host-assembly pipeline), so
+        # one extra inner-size input box is resident at peak.  Inputs are
+        # staged in the host dtype, which the planner cannot see; budget
+        # float32 (the common case, and conservative for f16/bf16 inputs).
+        prefetch = in_chan * int(np.prod(ccfg.inner_size)) * 4
+        fit = estimate_peak_bytes(inner, compute_vel, mid_chan) + prefetch
+        if fit <= hbm_bytes * _HEADROOM:
             return ChunkedHierarchicalConfig(
                 size=size,
                 chunks=tuple(chunks),

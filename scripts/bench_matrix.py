@@ -39,6 +39,23 @@ def main():
     p.add_argument("--timeout", type=int, default=2400)
     args = p.parse_args()
 
+    out = ROOT / "bench_matrix.json"
+
+    def persist(rows_now):
+        """Merge into bench_matrix.json after EVERY row, so a timeout or
+        crash on row N never discards rows 1..N-1."""
+        merged = {}
+        if out.exists():  # partial runs update their rows, keep the rest
+            try:
+                merged = {r["row"]: r for r in json.loads(out.read_text())}
+            except (json.JSONDecodeError, KeyError):
+                pass
+        merged.update({r["row"]: r for r in rows_now})
+        ordered = [f"{k}-{m}-{d}" for (k, m, d) in REF]
+        kept = [merged[t] for t in ordered if t in merged]
+        out.write_text(json.dumps(kept, indent=2))
+        return kept
+
     rows = []
     for (kind, mode, dtype), ref_s in REF.items():
         tag = f"{kind}-{mode}-{dtype}"
@@ -54,28 +71,26 @@ def main():
         if mode == "disp":
             cmd.append("--no-vel")
         print(f"--- {tag} ---", file=sys.stderr, flush=True)
-        proc = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=args.timeout
-        )
         record = {"row": tag, "reference_a100_s": ref_s}
-        if proc.returncode == 0 and proc.stdout.strip():
-            record.update(json.loads(proc.stdout.strip().splitlines()[-1]))
-        else:
-            record["error"] = (proc.stderr or "no output")[-800:]
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=args.timeout
+            )
+            if proc.returncode == 0 and proc.stdout.strip():
+                record.update(
+                    json.loads(proc.stdout.strip().splitlines()[-1])
+                )
+            else:
+                record["error"] = (proc.stderr or "no output")[-800:]
+        except subprocess.TimeoutExpired:
+            record["error"] = f"timeout after {args.timeout}s"
+        except json.JSONDecodeError as e:
+            record["error"] = f"unparseable bench output: {e}"
         rows.append(record)
+        persist(rows)
         print(json.dumps(record), flush=True)
 
-    out = ROOT / "bench_matrix.json"
-    merged = {}
-    if out.exists():  # partial runs update their rows, keep the rest
-        try:
-            merged = {r["row"]: r for r in json.loads(out.read_text())}
-        except (json.JSONDecodeError, KeyError):
-            pass
-    merged.update({r["row"]: r for r in rows})
-    ordered = [f"{k}-{m}-{d}" for (k, m, d) in REF]
-    rows = [merged[t] for t in ordered if t in merged]
-    out.write_text(json.dumps(rows, indent=2))
+    rows = persist(rows)
     print(f"\n| config | this engine (v5e) | reference (A100) | ratio |",
           file=sys.stderr)
     print("|---|---|---|---|", file=sys.stderr)

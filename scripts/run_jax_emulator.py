@@ -120,6 +120,13 @@ def main():
 
         emu_key = ("style", n) if args.style else (z, om, n)
         if emu_key not in emulators:
+            # Premodulated emulators are one-per-(z, Om): a long batch of
+            # distinct cosmologies would otherwise accumulate a device
+            # parameter tree + compiled runtime per file.  Keep only the
+            # most recent (same-cosmology files still reuse it; --style
+            # shares one emulator across all cosmologies).
+            if not args.style:
+                emulators.clear()
             if args.runtime == "auto":
                 from jax_nbody_emulator_with_dj_tpu import (
                     auto_hierarchical_config,
@@ -127,7 +134,7 @@ def main():
 
                 cfg = auto_hierarchical_config(
                     (n,) * 3, dtype=dtype, compute_vel=args.compute_vel,
-                    output_dtype=out_dtype,
+                    output_dtype=out_dtype, mid_chan=args.mid_chan,
                 )
             else:
                 cfg = SubboxConfig(size=(n,) * 3, ndiv=tuple(args.ndiv), dtype=dtype, output_dtype=out_dtype)

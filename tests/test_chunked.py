@@ -290,3 +290,38 @@ class TestNativeStaging:
         monkeypatch.setattr(native, "periodic_gather", lambda *a, **k: None)
         without = proc.process_box(box, 0.5, 0.3175)
         np.testing.assert_array_equal(with_native, without)
+
+
+class TestResumeManifest:
+    """resume_dir refuses chunks from a different run: files are keyed by
+    anchor only, so mixing inputs/cosmologies would silently assemble a
+    corrupted box."""
+
+    def _build(self, style_params):
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=MID)
+        cfg = ChunkedHierarchicalConfig(
+            size=(N,) * 3, chunks=(2, 1, 1),
+            dtype=jnp.float32, output_dtype=np.float32,
+        )
+        return ChunkedHierarchicalProcessor(model, params, cfg)
+
+    def test_different_cosmology_rejected(self, style_params, box, tmp_path):
+        proc = self._build(style_params)
+        proc.process_box(box, 0.5, 0.3175, resume_dir=tmp_path)
+        with pytest.raises(ValueError, match="different run"):
+            proc.process_box(box, 1.0, 0.3175, resume_dir=tmp_path)
+
+    def test_different_input_rejected(self, style_params, box, tmp_path):
+        proc = self._build(style_params)
+        proc.process_box(box, 0.5, 0.3175, resume_dir=tmp_path)
+        other = np.asarray(box) + 0.1
+        with pytest.raises(ValueError, match="different run"):
+            proc.process_box(other, 0.5, 0.3175, resume_dir=tmp_path)
+
+    def test_same_run_resumes(self, style_params, box, tmp_path):
+        proc = self._build(style_params)
+        ref = proc.process_box(box, 0.5, 0.3175)
+        proc.process_box(box, 0.5, 0.3175, resume_dir=tmp_path)
+        again = proc.process_box(box, 0.5, 0.3175, resume_dir=tmp_path)
+        np.testing.assert_array_equal(again, ref)

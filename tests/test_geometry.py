@@ -177,3 +177,36 @@ class TestCreateEmulatorDispatch:
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             rtol=1e-5, atol=1e-5,
         )
+
+
+class TestMidChanScaling:
+    """The planner's HBM estimate scales with the model width, so callers
+    must forward mid_chan (the pipeline and batch driver now do)."""
+
+    def test_wider_model_larger_estimate(self):
+        cfg = auto_hierarchical_config((512,) * 3, compute_vel=True)
+        assert isinstance(cfg, HierarchicalConfig)
+        e64 = estimate_peak_bytes(cfg, True, mid_chan=64)
+        e128 = estimate_peak_bytes(cfg, True, mid_chan=128)
+        assert e128 > e64 * 1.5
+
+    def test_wider_model_changes_plan(self):
+        """At 512^3 f32 velocity, mid_chan=128 buffers alone exceed the
+        chip: the planner must fall back to chunking (mid_chan=64 fits
+        monolithic with bf16 buffers)."""
+        import jax.numpy as jnp
+
+        base = auto_hierarchical_config(
+            (512,) * 3, dtype=jnp.float32, compute_vel=True
+        )
+        wide = auto_hierarchical_config(
+            (512,) * 3, dtype=jnp.float32, compute_vel=True, mid_chan=128
+        )
+        from jax_nbody_emulator_with_dj_tpu.chunked import (
+            ChunkedHierarchicalConfig,
+        )
+
+        assert isinstance(wide, ChunkedHierarchicalConfig) or (
+            estimate_peak_bytes(wide, True, 128)
+            > estimate_peak_bytes(base, True, 64)
+        )
