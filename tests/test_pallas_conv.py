@@ -100,3 +100,61 @@ class TestPallasKernel:
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-5
         )
+
+
+class TestWinogradPallasKernel:
+    """F(2,3)^2 Winograd Pallas kernel vs the direct conv (interpret mode).
+
+    The weight transform is shared with the tested XLA Winograd form
+    (``ops.winograd.transform_packed_w3``), so these pin the in-kernel
+    input transform, the fused inverse/epilogue, and the parity
+    de-interleave of the output block.
+    """
+
+    def _wino(self, x, w, b=None, leaky=False, block=None):
+        from jax_nbody_emulator_with_dj_tpu.ops.winograd_pallas import (
+            conv3d_wino_pallas,
+        )
+
+        return conv3d_wino_pallas(x, w, b, leaky=leaky, interpret=True,
+                                  block=block)
+
+    def test_matches_direct_with_bias_and_leaky(self, wb):
+        w, b = wb
+        x = jax.random.normal(KEY, (1, 10, 10, 16, C), jnp.float32)
+        y_ref = leaky_relu(conv3d(x, w) + b)
+        y = self._wino(x, w, b, leaky=True, block=(4, 4, 8))
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_multi_block_grid_and_clipping(self, wb):
+        """Non-divisible output extents exercise padding + block clipping."""
+        w, b = wb
+        x = jax.random.normal(KEY, (1, 12, 15, 22, C), jnp.float32)
+        y_ref = conv3d(x, w) + b
+        y = self._wino(x, w, b, block=(4, 4, 8))
+        assert y.shape == y_ref.shape == (1, 10, 13, 20, C)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_bf16_error_comparable_to_direct(self, wb):
+        """bf16 Winograd reassociation stays the same order as direct bf16."""
+        w, b = wb
+        x = jax.random.normal(KEY, (1, 10, 10, 16, C), jnp.float32)
+        y_f32 = np.asarray(conv3d(x, w) + b)
+        y_direct = np.asarray(
+            conv3d(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+            + b.astype(jnp.bfloat16),
+            np.float32,
+        )
+        y_wino = np.asarray(
+            self._wino(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), b,
+                       block=(4, 4, 8)),
+            np.float32,
+        )
+        scale = np.abs(y_f32).max()
+        err_direct = np.abs(y_direct - y_f32).max() / scale
+        err_wino = np.abs(y_wino - y_f32).max() / scale
+        assert err_wino < max(4 * err_direct, 0.05), (err_wino, err_direct)
