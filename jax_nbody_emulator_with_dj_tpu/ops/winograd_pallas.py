@@ -64,140 +64,167 @@ def _ceil_to(v, m):
     return (v + m - 1) // m * m
 
 
-_CHUNK = 256  # rows per accumulation chunk of the point-matmul pass
-
 # AT rows of F(2,3): output parity p combines points u with these +-1 signs.
 _AT_ROWS = ((1, 1, 1, 0), (0, 1, -1, -1))
 
 
 def _wino_kernel(
-    x_hbm, w_ref, b_ref, y_ref, xblk, z2d, z2d_rot, ys0, ys1, ys2, ys3, sem,
-    *, leaky: bool, c2: int, blk, mz: int, z_alloc: int,
+    x_hbm, w_ref, b_ref, y_ref, xblk, sem,
+    *, leaky: bool, c2: int, co: int, blk,
 ):
-    ys = (ys0, ys1, ys2, ys3)
     BD, BH, BWP = blk
     NP, RH, RW = BD + 2, BH + 2, BWP + 8
     TD, TH = BD // 2, BH // 2
     MZ = TD * TH * RW  # rows per Winograd point
-    assert mz == MZ
 
     i = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)
+    nj, nk = pl.num_programs(1), pl.num_programs(2)
 
-    dma = pltpu.make_async_copy(
-        x_hbm.at[
-            pl.ds(i * BD, NP),
-            pl.ds(j * BH, RH),
-            pl.ds(k * BWP, RW),
-            slice(None),
-        ],
-        xblk,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    # Double-buffered input windows: each grid step waits on the DMA the
+    # previous step started for it, then immediately starts the NEXT
+    # step's fetch into the other slot — the ~3-4 us window fetch hides
+    # behind this block's transforms and dots.  (The TPU grid is a
+    # sequential loop on the core, so scratch and in-flight DMAs persist
+    # across steps.)
+    step = (i * nj + j) * nk + k
+    slot = jax.lax.rem(step, 2)
+    nstep = step + 1
+    ni = nstep // (nj * nk)
+    njj = jax.lax.rem(nstep // nk, nj)
+    nkk = jax.lax.rem(nstep, nk)
+    last = ni >= pl.num_programs(0)
+    ni = jnp.where(last, 0, ni)
 
-    # ---- input transform: z[u,v] = BT X BT^T over (D, H) ----------------
+    def win_dma(bi, bj, bk, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[
+                pl.ds(bi * BD, NP),
+                pl.ds(bj * BH, RH),
+                pl.ds(bk * BWP, RW),
+                slice(None),
+            ],
+            xblk.at[s],
+            sem.at[s],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        win_dma(i, j, k, slot).start()
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        win_dma(ni, njj, nkk, 1 - slot).start()
+
+    win_dma(i, j, k, slot).wait()
+
+    # ---- fused transform -> point dot -> inverse accumulation -----------
+    # Pure dataflow: no staging buffers between the stages.  Each Winograd
+    # point's BT-transformed operand is an SSA value feeding its dot
+    # directly, and the AT inverse is folded into +-1 accumulations onto
+    # four parity accumulators — Mosaic is free to interleave the VPU
+    # transform/accumulate work of one point with the MXU dot of another
+    # (a VMEM-staged version of this kernel serialized the phases and ran
+    # at less than half the MXU's dot-stream rate).
+    #
     # Parity reshapes are free relabelings (D, H are major axes); each
     # BT row for F(2,3) is a +-1 pair, so every z tensor is adds of two
     # group slices.  E/O = even/odd planes; suffix 1 = next-tile shift.
-    X = xblk[...]
+    X = xblk[slot]
     Xr = X.reshape(NP // 2, 2, RH, RW, c2)
     E, O = Xr[:, 0], Xr[:, 1]                  # (TD+1, RH, RW, c2)
     E0, E1 = E[:TD], E[1:]
     O0, O1 = O[:TD], O[1:]
     a = (E0 - E1, O0 + E1, E1 - O0, O0 - O1)   # BT rows 0..3 along D
 
+    # AT is applied factored — first over v (4 adds per u), then over u
+    # (4 adds) — 24 (M, c2) f32 adds total instead of the 36 a direct
+    # per-point scatter-accumulation costs.
+    tq = [[None] * 2 for _ in range(4)]  # tq[u][q] = sum_v AT[q,v] s_uv
     for u in range(4):
         r = a[u].reshape(TD, RH // 2, 2, RW, c2)
         Eh, Oh = r[:, :, 0], r[:, :, 1]        # (TD, TH+1, RW, c2)
         Eh0, Eh1 = Eh[:, :TH], Eh[:, 1:]
         Oh0, Oh1 = Oh[:, :TH], Oh[:, 1:]
         zs = (Eh0 - Eh1, Oh0 + Eh1, Eh1 - Oh0, Oh0 - Oh1)
+        s_uv = []
         for v in range(4):
-            base = (4 * u + v) * MZ
-            z2d[pl.ds(base, MZ), :] = zs[v].reshape(MZ, c2)
-
-    # One +1-row shift realigns all a=1 packed-W taps (garbage crosses
-    # only into dropped halo columns / the next point's dropped rows).
-    z2d_rot[0 : z_alloc - 1, :] = z2d[1:z_alloc, :]
+            zf = zs[v].reshape(MZ, c2)
+            # Wide-K operand: [z | z shifted +1 row] — the a=1 packed-W
+            # tap — so both taps collapse into ONE K=2*c2 dot per point.
+            # The shift wraps the last row circularly; that garbage lands
+            # only in dropped halo columns (rw = RW-1 >= BWP).
+            zn = jnp.concatenate([zf[1:], zf[:1]], axis=0)
+            zw = jnp.concatenate([zf, zn], axis=1)
+            s_uv.append(
+                jnp.dot(zw, w_ref[u, v], preferred_element_type=jnp.float32)
+            )
+        tq[u][0] = (s_uv[0] + s_uv[1]) + s_uv[2]
+        tq[u][1] = (s_uv[1] - s_uv[2]) - s_uv[3]
+    acc = [None] * 4
+    for q in range(2):
+        acc[0 + q] = (tq[0][q] + tq[1][q]) + tq[2][q]
+        acc[2 + q] = (tq[1][q] - tq[2][q]) - tq[3][q]
 
     bias = b_ref[:].astype(jnp.float32)
 
-    # ---- point matmuls + fused inverse transform ------------------------
-    def chunk_body(ci, _):
-        m0 = pl.multiple_of(ci * _CHUNK, _CHUNK)
-        acc = [jnp.zeros((_CHUNK, c2), jnp.float32) for _ in range(4)]
-        for u in range(4):
-            cu = (_AT_ROWS[0][u], _AT_ROWS[1][u])
-            for v in range(4):
-                cv = (_AT_ROWS[0][v], _AT_ROWS[1][v])
-                base = (4 * u + v) * MZ
-                s = jnp.dot(
-                    z2d[pl.ds(base + m0, _CHUNK), :],
-                    w_ref[u, v, 0],
-                    preferred_element_type=jnp.float32,
-                ) + jnp.dot(
-                    z2d_rot[pl.ds(base + m0, _CHUNK), :],
-                    w_ref[u, v, 1],
-                    preferred_element_type=jnp.float32,
-                )
-                for p in range(2):
-                    for q in range(2):
-                        cpq = cu[p] * cv[q]
-                        if cpq == 1:
-                            acc[2 * p + q] = acc[2 * p + q] + s
-                        elif cpq == -1:
-                            acc[2 * p + q] = acc[2 * p + q] - s
-        for pq in range(4):
-            o = acc[pq] + bias
-            if leaky:
-                o = jnp.where(o > 0, o, 0.01 * o)
-            ys[pq][pl.ds(m0, _CHUNK), :] = o.astype(ys[pq].dtype)
-        return 0
-
-    jax.lax.fori_loop(0, pl.cdiv(MZ, _CHUNK), chunk_body, 0)
-
-    # ---- de-interleave the output parities ------------------------------
-    yt = [ys[pq][0:MZ, :].reshape(TD, TH, RW, c2) for pq in range(4)]
+    # ---- epilogue + de-interleave of the output parities ----------------
+    yt = []
+    for pq in range(4):
+        o = acc[pq] + bias
+        if leaky:
+            o = jnp.where(o > 0, o, 0.01 * o)
+        yt.append(o.astype(y_ref.dtype).reshape(TD, TH, RW, co))
     yd = [
-        jnp.stack([yt[0 + q], yt[2 + q]], axis=1)   # (TD, 2(p), TH, RW, c2)
+        jnp.stack([yt[0 + q], yt[2 + q]], axis=1)   # (TD, 2(p), TH, RW, co)
         for q in range(2)
     ]
-    Y = jnp.stack(yd, axis=3)                        # (TD, 2, TH, 2, RW, c2)
-    y_ref[...] = Y.reshape(BD, BH, RW, c2)[:, :, :BWP, :]
+    Y = jnp.stack(yd, axis=3)                        # (TD, 2, TH, 2, RW, co)
+    y_ref[...] = Y.reshape(BD, BH, RW, co)[:, :, :BWP, :]
 
 
-def _pick_block(od: int, oh: int, owp: int) -> tuple[int, int, int]:
-    """Output block (BD even, BH even, BWP 8-aligned) under ~13.5 MB VMEM."""
-    bwp = min(
-        (b for b in (64, 56, 48, 40, 32, 24, 16, 8) if b <= _ceil_to(owp, 8)),
-        key=lambda b: (_ceil_to(owp, b) - owp, -b),
+def _vmem_bytes(bd, bh, bwp, c2, co):
+    """Rough live-VMEM model of the dataflow kernel, matched to measured
+    compile successes/failures on v5e (double-buffered input windows,
+    8 live f32 tq accumulators + 4 acc + transform temps + weights)."""
+    NP, RH, RW = bd + 2, bh + 2, bwp + 8
+    mz = (bd // 2) * (bh // 2) * RW
+    return (
+        2 * NP * RH * RW * c2 * 2       # double-buffered input windows
+        + 9 * mz * co * 4               # f32 tq/acc accumulators
+        + 4 * mz * c2 * 2               # transform temps (zf/zn/zw)
+        + 2 * bd * bh * bwp * co * 2    # double-buffered output block
+        + 16 * 2 * c2 * co * 2          # wide-K transformed weights
     )
-    for bh in (32, 24, 16, 8):
-        for bd in (6, 4, 2):
-            if bh > oh + 8 or bd > od + 2:
-                continue
-            NP, RH, RW = bd + 2, bh + 2, bwp + 8
-            if NP % 2 or RH % 2:
-                continue
-            mz = (bd // 2) * (bh // 2) * RW
-            z_alloc = 16 * mz + _ceil_to(_CHUNK, 8)
-            ya = _ceil_to(mz, _CHUNK) + _CHUNK
-            vmem = (
-                NP * RH * RW * c2b                    # xblk
-                + 2 * z_alloc * c2b                   # z2d + rot
-                + 4 * ya * c2b                        # parity staging
-                + 2 * bd * bh * bwp * c2b             # double-buffered out
-                + 32 * 128 * 128 * 2                  # transformed weights
-            )
-            if vmem <= 13.5 * 1024 * 1024:
-                return bd, bh, bwp
-    return 2, 8, bwp
 
 
-c2b = 128 * 2  # bytes per row at the canonical packed width (bf16)
+def _pick_block(od: int, oh: int, owp: int, c2: int = 128, co: int = 128):
+    """Output block (BD even, BH even, BWP 8-aligned) under ~13 MB VMEM.
+
+    Measured on v5e (production phase-3 widths): covering W in ONE block
+    dominates — both the halo-column waste (RW/BWP) and the W pad shrink
+    with BWP, and (4, 8, full-W) ran 92.7 TF/s direct-equivalent vs 87 for
+    the best split-W block.  Falls back to splitting W (minimizing
+    pad x halo waste) only when the full-W block cannot fit VMEM.
+    """
+    budget = 13 * 1024 * 1024
+    shapes = ((4, 8), (2, 16), (2, 8), (2, 4))
+    full = max(_ceil_to(owp, 8), 8)
+    for bd, bh in shapes:
+        if _vmem_bytes(bd, bh, full, c2, co) <= budget:
+            return bd, bh, full
+    best = None
+    for bwp in range(full - 8, 0, -8):
+        for bd, bh in shapes:
+            if _vmem_bytes(bd, bh, bwp, c2, co) <= budget:
+                waste = _ceil_to(owp, bwp) * (bwp + 8) // bwp
+                if best is None or waste < best[0]:
+                    best = (waste, bd, bh, bwp)
+                break
+    if best is None:
+        return 2, 4, 8
+    return best[1], best[2], best[3]
 
 
 @functools.partial(jax.jit, static_argnames=("leaky", "interpret", "block"))
@@ -205,32 +232,34 @@ def conv3d_wino_pallas_packed(
     xp, what, bias_unpacked=None, *, leaky: bool = False,
     interpret: bool = False, block=None,
 ):
-    """Packed-domain Winograd conv: xp (B, D, H, WP, 2C) -> (B, D-2, H-2, WP-1, 2C).
+    """Packed-domain Winograd conv: xp (B, D, H, WP, 2Ci) -> (B, D-2, H-2, WP-1, 2Co).
 
     Args:
-        xp: packed input (`ops.s2d.pack`), canonical 2C = 128.
+        xp: packed input (`ops.s2d.pack`), 2Ci a multiple of 128.
         what: transformed kernel `transform_packed_w3(pack_w3(w))` —
-            (4, 4, 2, 2C, 2C).
-        bias_unpacked: (C,) fp32 bias or None.
+            (4, 4, 2, 2Ci, 2Co); rectangular channel counts supported.
+        bias_unpacked: (Co,) fp32 bias, (2Co,) packed fp32 bias, or None.
         leaky: fuse LeakyReLU(0.01).
         block: optional (BD, BH, BWP) override (BD, BH even, BWP 8-aligned).
     """
     b, d, h, wp_dim, c2 = xp.shape
-    assert what.shape[:3] == (4, 4, 2) and what.shape[-1] == c2
+    assert what.shape[:3] == (4, 4, 2) and what.shape[-2] == c2
+    co = what.shape[-1]
+    # Wide-K weight layout: the two packed-W taps stack along K so each
+    # Winograd point is ONE (M, 2*c2) x (2*c2, co) dot (see kernel note).
+    wk = jnp.concatenate([what[:, :, 0], what[:, :, 1]], axis=2)
 
-    bp = (
-        jnp.zeros((c2,), jnp.float32)
-        if bias_unpacked is None
-        else jnp.tile(bias_unpacked.astype(jnp.float32), 2)
-    )
+    if bias_unpacked is None:
+        bp = jnp.zeros((co,), jnp.float32)
+    elif bias_unpacked.shape[0] == co:
+        bp = bias_unpacked.astype(jnp.float32)
+    else:
+        bp = jnp.tile(bias_unpacked.astype(jnp.float32), 2)
 
     od, oh, owp = d - 2, h - 2, wp_dim - 1
-    BD, BH, BWP = block if block is not None else _pick_block(od, oh, owp)
+    BD, BH, BWP = block if block is not None else _pick_block(od, oh, owp, c2, co)
     assert BD % 2 == 0 and BH % 2 == 0 and BWP % 8 == 0
     NP, RH, RW = BD + 2, BH + 2, BWP + 8
-    MZ = (BD // 2) * (BH // 2) * RW
-    z_alloc = 16 * MZ + _ceil_to(_CHUNK, 8)
-    ya = _ceil_to(MZ, _CHUNK) + _CHUNK
 
     pd_, ph_, pwp = _ceil_to(od, BD), _ceil_to(oh, BH), _ceil_to(owp, BWP)
     xp = jnp.pad(
@@ -240,8 +269,7 @@ def conv3d_wino_pallas_packed(
 
     grid = (pd_ // BD, ph_ // BH, pwp // BWP)
     kern = functools.partial(
-        _wino_kernel, leaky=leaky, c2=c2, blk=(BD, BH, BWP), mz=MZ,
-        z_alloc=z_alloc,
+        _wino_kernel, leaky=leaky, c2=c2, co=co, blk=(BD, BH, BWP),
     )
 
     call = pl.pallas_call(
@@ -253,32 +281,26 @@ def conv3d_wino_pallas_packed(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed bias
         ],
         out_specs=pl.BlockSpec(
-            (BD, BH, BWP, c2),
+            (BD, BH, BWP, co),
             lambda i, j, k: (i, j, k, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((pd_, ph_, pwp, c2), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((pd_, ph_, pwp, co), xp.dtype),
         scratch_shapes=[
-            pltpu.VMEM((NP, RH, RW, c2), xp.dtype),
-            pltpu.VMEM((z_alloc, c2), xp.dtype),
-            pltpu.VMEM((z_alloc, c2), xp.dtype),
-            pltpu.VMEM((ya, c2), xp.dtype),
-            pltpu.VMEM((ya, c2), xp.dtype),
-            pltpu.VMEM((ya, c2), xp.dtype),
-            pltpu.VMEM((ya, c2), xp.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, NP, RH, RW, c2), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             # count the direct conv's useful FLOPs so TF/s compare 1:1
-            flops=18 * 2 * BD * (BH + 2) * RW * c2 * c2
+            flops=18 * 2 * BD * (BH + 2) * RW * c2 * co
             * grid[0] * grid[1] * grid[2],
-            bytes_accessed=xp.size * 2 + pd_ * ph_ * pwp * c2 * 2,
+            bytes_accessed=xp.size * 2 + pd_ * ph_ * pwp * co * 2,
             transcendentals=0,
         ),
         interpret=interpret,
     )
 
-    ys = [call(xp[n], what, bp)[None] for n in range(b)]
+    ys = [call(xp[n], wk, bp)[None] for n in range(b)]
     yp = jnp.concatenate(ys, axis=0) if b > 1 else ys[0]
     return yp[:, :od, :oh, :owp, :]
 
