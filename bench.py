@@ -242,12 +242,11 @@ def main():
         if args.tile:
             tile = tuple(args.tile)
         elif compute_vel:
-            # bf16 vel: the factored tangent freed enough HBM for a
-            # (128, 128, 256) phase-3 tile (measured best; (128, 256, 256)
-            # still OOMs).  f32 vel (bf16 buffers): a 128^3 tile audits at
-            # ~14.5 GiB peak but RESOURCE_EXHAUSTs at runtime (allocator
-            # slack); (128, 128, 64) executes — 22.0 s measured at 512^3.
-            tile = (t, t, max(t // 2, 4)) if f32 else (t, t, min(2 * t, args.size))
+            # bf16 vel: with the Winograd conv path (round 4) the padded
+            # per-conv transients make (128, 128, 256) OOM; 128^3 tiles
+            # measure best (11.6 s at 512^3, vs 15.9 s round 3).  f32 vel
+            # (bf16 buffers): (128, 128, 64) executes — 22.0 s round 3.
+            tile = (t, t, max(t // 2, 4)) if f32 else (t, t, t)
         else:
             t2 = min(2 * t, args.size)
             tile = (t, t, t2) if f32 else (t, t2, t2)

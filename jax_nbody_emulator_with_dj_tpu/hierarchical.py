@@ -114,6 +114,25 @@ class HierarchicalConfig:
     output_dtype: np.dtype = np.float16
     in_chan: int = 3
     packed: bool = True  # space-to-depth packed interior (see module doc)
+    wino: bool | None = None  # run eligible 3x3x3 convs through the Pallas
+    # F(2,3)^2 Winograd kernel (``ops/winograd_pallas.py``; measured 1.4x
+    # over XLA's conv emitter on a v5e).  None = auto: on when the packed
+    # path runs on a TPU backend, off elsewhere (the kernel only compiles
+    # for TPU; the packed apply functions also fall back per-call).
+    y0_cache: bool = False  # phase 3 shares the recomputed level-0 skips
+    # (conv_l00 + conv_l01) across the W tiles of one (D, H) strip via a
+    # cached y0 strip instead of recomputing them per tile, cutting the
+    # level-0 re-encode overhead from (tile+16)^3/tile^3 (~1.42x at 128^3
+    # tiles) to ~1.14x.  MEASURED SLOWER on a v5e at 512^3 velocity
+    # (phase 3: 8.4 s cached vs 8.0 s monolithic, Winograd convs both
+    # ways): the saved re-encode MACs cost less than the strip's extra
+    # HBM round-trip (write (136,136,260,128)x2 per strip + slice reads)
+    # plus the decode fusion the split forfeits.  Kept as an option —
+    # the balance may flip for narrower chips or mid_chan > 64.
+    y0_slab_h: int | None = None  # H-segment height of the y0 strip fill
+    # (bounds the entry conv's im2col transient — at (td+16) x (sh+16) x 528
+    # the vel entry stack peaks at ~(sh/64) x 2 GiB); default
+    # min(64, tile H + 8).  Segments are exact partitions (no overlap).
     buf_dtype: jnp.dtype | None = None  # inter-phase level-buffer storage
     # (default: same as ``dtype``).  For float32 compute on TPU, set
     # bfloat16: every buffer consumer is a conv whose operands XLA rounds
@@ -160,6 +179,10 @@ class HierarchicalConfig:
                 raise ValueError(f"packed mode needs tile1 % 8 == 0, got {self.tile1}")
             if self.tile[2] % 4:
                 raise ValueError(f"packed mode needs tile W % 4 == 0, got {self.tile}")
+        if self.y0_slab_h is None:
+            self.y0_slab_h = min(68, self.tile[1] + 8)
+        if self.y0_slab_h < 2:
+            raise ValueError(f"y0_slab_h {self.y0_slab_h} must be >= 2")
         if self.buf_dtype is None:
             self.buf_dtype = self.dtype
 
@@ -267,18 +290,25 @@ class HierarchicalProcessor:
     def _pack_params(self, p):
         """Pre-pack the interior layers' weights for packed execution."""
         vel = self.compute_vel
+        wino = self.config.wino
+        if wino is None:
+            wino = jax.default_backend() == "tpu"
         pp = {
             # entry block: NCDHW C=3 input -> packed directly (XLA's conv
             # emitter is pathological on 3-channel inputs)
-            "conv_l00": pack_resnet_entry_params(p["conv_l00"], "CACA", vel=vel),
+            "conv_l00": pack_resnet_entry_params(
+                p["conv_l00"], "CACA", vel=vel, wino=wino
+            ),
             # exit block: stays packed through the 64->3 tail; the output
             # leaves packed space via one unpack_to_ncdhw relayout
-            "conv_r01": pack_resnet_params(p["conv_r01"], "CAC", vel=vel),
+            "conv_r01": pack_resnet_params(p["conv_r01"], "CAC", vel=vel, wino=wino),
         }
         for name in ("conv_l01", "conv_l1", "conv_l2", "conv_c"):
-            pp[name] = pack_resnet_params(p[name], "CACA", vel=vel)
+            pp[name] = pack_resnet_params(p[name], "CACA", vel=vel, wino=wino)
         for name in ("conv_r2", "conv_r1", "conv_r00"):
-            pp[name] = pack_resnet_params(p[name], "CACA", groups=2, vel=vel)
+            pp[name] = pack_resnet_params(
+                p[name], "CACA", groups=2, vel=vel, wino=wino
+            )
         for name in ("down_l0", "down_l1", "down_l2"):
             pp[name] = pack_resample_params(p[name], "DA", vel=vel)
         for name in ("up_r2", "up_r1", "up_r0"):
@@ -418,12 +448,105 @@ class HierarchicalProcessor:
 
     def _phase3_all(self, params, boxp, r1, outs, Dz, vel_fac):
         cfg = self.config
-        anchors = self._tile_anchors(list(zip(cfg.size, cfg.tile)))
+        if not cfg.y0_cache:
+            anchors = self._tile_anchors(list(zip(cfg.size, cfg.tile)))
 
-        def body(i, o):
-            return self._phase3_step(params, (boxp,) + r1, anchors[i], o, Dz, vel_fac)
+            def body(i, o):
+                return self._phase3_step(
+                    params, (boxp,) + r1, anchors[i], o, Dz, vel_fac
+                )
 
-        return jax.lax.fori_loop(0, anchors.shape[0], body, outs)
+            return jax.lax.fori_loop(0, anchors.shape[0], body, outs)
+
+        # y0-strip-cached decode: one level-0 re-encode per (D, H) strip,
+        # shared by every W tile of that strip (see config.y0_cache).  The
+        # strip is a loop-body VALUE, never a loop carry — a slab-wide
+        # cache carried across fori iterations gets multi-buffered by XLA
+        # (3x a 4.4 GiB buffer at 512^3 velocity); a per-strip value costs
+        # one ~1.2 GiB transient the allocator frees at iteration end.
+        td, th, tw = cfg.tile
+        nd, nh_, nw_ = cfg.size
+        anchors_dh = self._tile_anchors([(nd, td), (nh_, th)])
+        n_w = nw_ // tw
+
+        def dh_body(i, o):
+            d0, h0 = anchors_dh[i][0], anchors_dh[i][1]
+            y0 = self._y0_strip(params, boxp, d0, h0)
+
+            def w_body(wi, oo):
+                return self._phase3_step_cached(
+                    params, boxp, r1, y0, d0, h0, wi * tw, oo, Dz, vel_fac
+                )
+
+            return jax.lax.fori_loop(0, n_w, w_body, o)
+
+        return jax.lax.fori_loop(0, anchors_dh.shape[0], dh_body, outs)
+
+    def _y0_strip(self, params, boxp, d0, h0):
+        """Level-0 features (conv_l00 + conv_l01) for one (D, H) strip.
+
+        Returns a tuple of (1, td+8, th+8, (W+8)[/2, cells], mid) values
+        (primal[, tangent]) covering the halo-4 needs of every W tile in
+        the strip.  Computed in static H segments of ~y0_slab_h rows
+        (bounding the entry conv's im2col transient) and concatenated —
+        straight-line code, so no buffer is ever a loop carry.
+        """
+        cfg = self.config
+        td, th = cfg.tile[0], cfg.tile[1]
+        nw_ = cfg.size[2]
+        sh = cfg.y0_slab_h
+        rows = th + 8
+        nbuf = 2 if self.compute_vel else 1
+        segs = []
+        o = 0
+        while o < rows:
+            n = min(sh, rows - o)
+            slab = jax.lax.dynamic_slice(
+                boxp,
+                (0, 0, d0, h0 + o, 0),
+                (1, cfg.in_chan, td + 16, n + 8, nw_ + 16),
+            )
+            if segs:
+                # Serialize the segments: without this barrier XLA's
+                # scheduler interleaves the independent segment subgraphs
+                # and their ~0.3 GiB intermediates all coexist (measured
+                # +3 GiB peak at 512^3 velocity).
+                slab, _ = jax.lax.optimization_barrier((slab, segs[-1][0]))
+            out = self._y0_slab(params, slab)
+            segs.append(out if self.compute_vel else (out,))
+            o += n
+        if len(segs) == 1:
+            out = segs[0]
+        else:
+            out = tuple(
+                jnp.concatenate([s[b] for s in segs], axis=2) for b in range(nbuf)
+            )
+        # Store the strip at buf_dtype (bf16 in the f32-compute mode — the
+        # same single rounding every inter-phase buffer applies); consumers
+        # upcast via _read_tile.
+        if jnp.dtype(cfg.buf_dtype) != jnp.dtype(cfg.dtype):
+            out = tuple(t.astype(cfg.buf_dtype) for t in out)
+        return out
+
+    def _y0_slab(self, params, slab):
+        """conv_l00 + conv_l01 on one NCDHW slab (phase-1's stack minus the
+        downsample): (1, C, SD+16, SH+16, W+16) -> level-0 features
+        (1, SD+8, SH+8, (W+8)[/2, cells], mid) (+ tangent)."""
+        p = params["params"]
+        packed = self.config.packed
+        if self.compute_vel:
+            if packed:
+                h, dh = apply_resnet_entry_vel_packed(p["conv_l00"], slab)
+                return apply_resnet_block_vel_packed(p["conv_l01"], h, dh, "CACA")
+            h, dh = apply_resnet_block_vel(
+                p["conv_l00"], slab, None, "CACA", in_fmt="NCDHW"
+            )
+            return apply_resnet_block_vel(p["conv_l01"], h, dh, "CACA")
+        if packed:
+            h = apply_resnet_entry_packed(p["conv_l00"], slab)
+            return apply_resnet_block_packed(p["conv_l01"], h, "CACA")
+        h = apply_resnet_block(p["conv_l00"], slab, "CACA", in_fmt="NCDHW")
+        return apply_resnet_block(p["conv_l01"], h, "CACA")
 
     def _phase1_step(self, params, boxp, d0, h0, h1_out):
         cfg = self.config
@@ -592,6 +715,118 @@ class HierarchicalProcessor:
             jax.lax.dynamic_update_slice(buf, o.astype(out_dtype), (0, 0, a[0], a[1], a[2]))
             for buf, o in zip(outs, out)
         )
+
+    def _phase3_step_cached(self, params, boxp, r1, y0, d0, a1, aw, outs, Dz, vel_fac):
+        """Decode one W tile of the current (D, H) y0 strip.
+
+        y0 strip coordinates (derivation: the level-0 stack consumes 4
+        voxels/side from the padded box, so strip index i maps to global
+        coordinate d0+i-4 / h0+i-4; packed W cell u holds globals
+        {2u-4, 2u-3}): the halo-4 window for output tile (d0, h0, aw)
+        spans the full strip in D and H and starts at cell aw[/2] in W
+        with extent (tw+8)[/2].
+        """
+        cfg = self.config
+        td, th, tw = cfg.tile
+        wu = 2 if cfg.packed else 1
+
+        def y0_slice(buf):
+            return self._read_tile(
+                jax.lax.dynamic_slice(
+                    buf,
+                    (0, 0, 0, aw // wu, 0),
+                    (1, td + 8, th + 8, (tw + 8) // wu, buf.shape[-1]),
+                )
+            )
+
+        hm = self.PHASE3_R1_MARGIN_PACKED if cfg.packed else self.PHASE3_R1_MARGIN
+
+        def r_slice(buf):
+            starts = [d0 // 2, a1 // 2]
+            sizes = [td // 2 + 2 * hm, th // 2 + 2 * hm]
+            if cfg.packed:
+                starts.append(aw // 4)
+                sizes.append((tw // 2 + 2 * hm) // 2)
+            else:
+                starts.append(aw // 2)
+                sizes.append(tw // 2 + 2 * hm)
+            return self._read_tile(
+                jax.lax.dynamic_slice(
+                    buf, (0, *starts, 0), (1, *sizes, buf.shape[-1])
+                )
+            )
+
+        # Residual slice needs no halo at all (the monolithic step's
+        # (T+16)^3 box window existed only for the per-tile re-encode).
+        x0 = jax.lax.dynamic_slice(
+            boxp, (0, 0, d0 + 8, a1 + 8, aw + 8), (1, cfg.in_chan, td, th, tw)
+        )
+        if self.compute_vel:
+            y0_t = tuple(y0_slice(b) for b in y0)
+            r1_t = tuple(r_slice(r) for r in r1)
+        else:
+            y0_t = y0_slice(y0[0])
+            r1_t = r_slice(r1[0])
+        out = self._phase3_tile_cached(params, x0, y0_t, r1_t, Dz, vel_fac)
+        out = out if self.compute_vel else (out,)
+        out_dtype = outs[0].dtype
+        return tuple(
+            jax.lax.dynamic_update_slice(
+                buf, o.astype(out_dtype), (0, 0, d0, a1, aw)
+            )
+            for buf, o in zip(outs, out)
+        )
+
+    def _phase3_tile_cached(self, params, x0, y0_t, r1_tile, Dz, vel_fac):
+        """``_phase3_tile`` minus the level-0 re-encode: y0 comes from the
+        slab cache; x0 is the exact residual slice."""
+        p = params["params"]
+        vel = self.compute_vel
+        packed = self.config.packed
+        uc, ucw = (4, 2) if packed else (2, 2)
+
+        if vel:
+            y0, dy0 = y0_t
+            r1, dr1 = r1_tile
+            if packed:
+                u, du = apply_resample_block_vel_packed(p["up_r0"], r1, dr1, "UA")
+                u = u[:, uc:-uc, uc:-uc, ucw:-ucw]
+                du = du[:, uc:-uc, uc:-uc, ucw:-ucw]
+                h, dh = apply_resnet_block_vel_packed_cat(
+                    p["conv_r00"], (y0, u), (dy0, du), "CACA"
+                )
+                h, dh = apply_resnet_block_vel_packed(p["conv_r01"], h, dh, "CAC")
+                h, dh = s2d.unpack_to_ncdhw(h), s2d.unpack_to_ncdhw(dh)
+            else:
+                u, du = apply_resample_block_vel(p["up_r0"], r1, dr1, "UA")
+                u = u[:, uc:-uc, uc:-uc, ucw:-ucw]
+                du = du[:, uc:-uc, uc:-uc, ucw:-ucw]
+                h = jnp.concatenate([y0, u], -1)
+                dh = jnp.concatenate([dy0, du], -1)
+                h, dh = apply_resnet_block_vel(p["conv_r00"], h, dh, "CACA")
+                h, dh = apply_resnet_block_vel(
+                    p["conv_r01"], h, dh, "CAC", out_fmt="NCDHW"
+                )
+            disp = (h + x0) * jnp.asarray(6.0, h.dtype)
+            vf = vel_fac.reshape((1,) * 5)
+            dz = Dz.reshape((1,) * 5)
+            velocity = dh * (vf * 6.0).astype(h.dtype) + x0 * (
+                vf * 6.0 / dz
+            ).astype(h.dtype)
+            return disp, velocity
+        if packed:
+            u = apply_resample_block_packed(p["up_r0"], r1_tile, "UA")
+            u = u[:, uc:-uc, uc:-uc, ucw:-ucw]
+            h = apply_resnet_block_packed_cat(p["conv_r00"], (y0_t, u), "CACA")
+            h = apply_resnet_block_packed(p["conv_r01"], h, "CAC")
+            h = s2d.unpack_to_ncdhw(h)
+        else:
+            u = apply_resample_block(p["up_r0"], r1_tile, "UA")
+            u = u[:, uc:-uc, uc:-uc, ucw:-ucw]
+            h = jnp.concatenate([y0_t, u], -1)
+            h = apply_resnet_block(p["conv_r00"], h, "CACA")
+            h = apply_resnet_block(p["conv_r01"], h, "CAC", out_fmt="NCDHW")
+        return (h + x0) * jnp.asarray(6.0, h.dtype)
 
     # ------------------------------------------------------------------
     # Phase 1: level-0 encoder on one D-slab -> level-1 rows

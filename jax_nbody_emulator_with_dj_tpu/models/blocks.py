@@ -328,7 +328,17 @@ _PACKED_OPS = {
 }
 
 
-def pack_conv_layer_params(p, kind, *, groups: int = 1, vel: bool = False):
+def _wino_eligible(kind: str, wp) -> bool:
+    """3x3x3 conv sites whose packed operands fill the MXU's 128 lanes:
+    the Winograd Pallas kernel (``ops/winograd_pallas.py``) covers these.
+    Narrow outputs (the model's 64->3 tail) keep the direct conv — the
+    kernel's N-padding would waste more than Winograd's MAC cut saves."""
+    return kind == "conv" and wp.shape[-1] >= 128 and wp.shape[-2] >= 128
+
+
+def pack_conv_layer_params(
+    p, kind, *, groups: int = 1, vel: bool = False, wino: bool = False
+):
     """Pre-pack one premodulated conv layer's params for packed execution.
 
     Velocity layers prefer the FACTORED tangent: when ``dweight`` has the
@@ -339,12 +349,21 @@ def pack_conv_layer_params(p, kind, *, groups: int = 1, vel: bool = False):
     convs ``op(x, dW) + op(dx, W)``: a 3→2 conv cut on every velocity
     layer.  Trees with a genuinely learned ``dweight`` (no rank structure;
     map2map plain-vel training) keep the materialized-tangent path.
+
+    With ``wino=True``, eligible 3x3x3 convs additionally carry the
+    F(2,3)^2 Winograd-transformed kernel (``"wh"``); the packed apply
+    functions then run the fused Pallas Winograd conv on TPU (the ~1.4x
+    measured MAC-cut win), falling back to the direct conv elsewhere.
     """
     packer = _PACKERS[kind]
     out = {
         "w": packer(p["weight"], groups),
         "b": s2d.pack_bias(p["bias"].astype(jnp.float32)),
     }
+    if wino and _wino_eligible(kind, out["w"]):
+        from ..ops.winograd import transform_packed_w3
+
+        out["wh"] = transform_packed_w3(out["w"])
     if not vel:
         return out
     fac = None
@@ -365,6 +384,12 @@ def pack_conv_layer_params(p, kind, *, groups: int = 1, vel: bool = False):
     # with twice the groups.
     wcat = jnp.concatenate([p["dweight"], p["weight"]], axis=-2)
     out["wcat"] = packer(wcat, 2 * groups)
+    if "wh" in out:
+        from ..ops.winograd import transform_packed_w3
+
+        # The tap transform commutes with input-channel row splits, so the
+        # split-parts tangent convs slice this the same way they slice wcat.
+        out["whcat"] = transform_packed_w3(out["wcat"])
     if kind != "up" and out["w"].shape[-1] < 128:
         # Narrow outputs (the model's 64->3 tail) pad the MXU's 128-wide
         # N for EVERY conv; stacking the primal and x-tangent kernels
@@ -377,24 +402,53 @@ def pack_conv_layer_params(p, kind, *, groups: int = 1, vel: bool = False):
     return out
 
 
-def pack_resnet_params(p, seq, *, groups: int = 1, vel: bool = False):
+def pack_resnet_params(p, seq, *, groups: int = 1, vel: bool = False, wino: bool = False):
     main_seq, num_conv, _ = _resnet_channel_plan(seq, 0, 0)
     out = {"skip": pack_conv_layer_params(p["skip"], "skip", groups=groups, vel=vel)}
     for i in range(num_conv):
         g = groups if i == 0 else 1
-        out[f"conv_{i}"] = pack_conv_layer_params(p[f"conv_{i}"], "conv", groups=g, vel=vel)
+        out[f"conv_{i}"] = pack_conv_layer_params(
+            p[f"conv_{i}"], "conv", groups=g, vel=vel, wino=wino
+        )
     return out
 
 
-def pack_resample_params(p, seq, *, groups: int = 1, vel: bool = False):
+def pack_resample_params(p, seq, *, groups: int = 1, vel: bool = False, wino: bool = False):
     kind = "down" if "D" in seq else "up"
     return {"conv_0": pack_conv_layer_params(p["conv_0"], kind, groups=groups, vel=vel)}
 
 
-def _apply_packed(pp, xp, kind):
-    op = _PACKED_OPS[kind]
+def _wino_on() -> bool:
+    """Run the Pallas Winograd conv only where it can compile (TPU)."""
+    return jax.default_backend() == "tpu"
+
+
+def _wino_conv(xp, wh, bias=None, leaky=False):
+    from ..ops.winograd_pallas import conv3d_wino_pallas_packed
+
+    out_dtype = None
+    if xp.dtype == jnp.float32:
+        # Match XLA's f32-conv-on-TPU semantics: bf16 operands (the
+        # default matmul precision rounding), f32 accumulation + output.
+        out_dtype = jnp.float32
+        xp = xp.astype(jnp.bfloat16)
+    return conv3d_wino_pallas_packed(
+        xp, wh.astype(jnp.bfloat16), bias, leaky=leaky, out_dtype=out_dtype
+    )
+
+
+def _apply_packed(pp, xp, kind, act: bool = False):
+    """One packed conv layer (+bias); ``act=True`` fuses the LeakyReLU that
+    follows it in the block sequence (the Winograd kernel fuses
+    conv+bias+act on-chip; the XLA path applies it here, which XLA fuses
+    into the conv epilogue anyway)."""
     out_dtype = xp.dtype
+    if "wh" in pp and _wino_on():
+        return _wino_conv(xp, pp["wh"], pp["b"], leaky=act)
+    op = _PACKED_OPS[kind]
     z = op(xp, pp["w"]) + pp["b"].astype(xp.dtype)
+    if act:
+        z = leaky_relu(z)
     return z.astype(out_dtype)
 
 
@@ -421,34 +475,45 @@ def _cat_weight_parts(w, kind, n):
 def _apply_packed_vel(pp, xp, dxp, kind):
     op = _PACKED_OPS[kind]
     out_dtype = xp.dtype
+    wino = "wh" in pp and _wino_on()
     if "g" in pp:
         # Factored tangent (style-derived dweight): ONE tangent conv sharing
         # the primal kernel — dy = op(x⊙g + dx, W) − c⊙op(x, W).
-        z = op(xp, pp["w"])
         g = jnp.tile(pp["g"], 2).astype(xp.dtype)  # packed rows [q0|q1]
-        zt = op(xp * g + dxp, pp["w"])
+        if wino:
+            z = _wino_conv(xp, pp["wh"])
+            zt = _wino_conv(xp * g + dxp, pp["wh"])
+        else:
+            z = op(xp, pp["w"])
+            zt = op(xp * g + dxp, pp["w"])
         y = z + pp["b"].astype(xp.dtype)
         dy = zt - pp["c"].astype(z.dtype) * z
         return y.astype(out_dtype), dy.astype(out_dtype)
-    wdw, ww = _cat_weight_parts(pp["wcat"], kind, 2)
     if "wst" in pp:
         # Narrow-output layers run the primal and x-tangent convs as one
         # Cols-stacked conv (see ``pack_conv_layer_params``).
+        _, ww = _cat_weight_parts(pp["wcat"], kind, 2)
         c = pp["w"].shape[-1]
         z = op(xp, pp["wst"])
         y = z[..., :c] + pp["b"].astype(xp.dtype)
         dy = z[..., c:] + op(dxp, ww)
         return y.astype(out_dtype), dy.astype(out_dtype)
-    y = op(xp, pp["w"]) + pp["b"].astype(xp.dtype)
     # Tangent conv as a split-parts sum: dy = conv(x, dW) + conv(dx, W).
     # Mathematically identical to conv(cat(x, dx), wcat) but skips the
     # 256-channel concat materialization — measured 1.41x faster on a v5e
     # (96.9 vs 68.6 effective TF/s at phase-1 slab shapes).
+    if wino:
+        whdw, whw = _cat_weight_parts(pp["whcat"], kind, 2)
+        y = _wino_conv(xp, pp["wh"], pp["b"])
+        dy = _wino_conv(xp, whdw) + _wino_conv(dxp, whw)
+        return y.astype(out_dtype), dy.astype(out_dtype)
+    wdw, ww = _cat_weight_parts(pp["wcat"], kind, 2)
+    y = op(xp, pp["w"]) + pp["b"].astype(xp.dtype)
     dy = op(xp, wdw) + op(dxp, ww)
     return y.astype(out_dtype), dy.astype(out_dtype)
 
 
-def _apply_packed_cat(pp, xs, kind):
+def _apply_packed_cat(pp, xs, kind, act: bool = False):
     """Packed conv layer on an IMPLICIT channel concat of packed parts.
 
     The groups=len(xs) packed weight's input rows are group-major, so the
@@ -457,13 +522,22 @@ def _apply_packed_cat(pp, xs, kind):
     materialized, and each operand stays at the native 128-channel shape
     (measured ~12% faster than the grouped concat conv on a v5e).
     """
-    op = _PACKED_OPS[kind]
-    parts_w = _cat_weight_parts(pp["w"], kind, len(xs))
-    z = op(xs[0], parts_w[0])
-    for x, wi in zip(xs[1:], parts_w[1:]):
-        z = z + op(x, wi)
     out_dtype = xs[0].dtype
-    return (z + pp["b"].astype(z.dtype)).astype(out_dtype)
+    if "wh" in pp and _wino_on():
+        parts_wh = _cat_weight_parts(pp["wh"], kind, len(xs))
+        z = _wino_conv(xs[0], parts_wh[0], pp["b"])  # bias rides part 0
+        for x, wi in zip(xs[1:], parts_wh[1:]):
+            z = z + _wino_conv(x, wi)
+    else:
+        op = _PACKED_OPS[kind]
+        parts_w = _cat_weight_parts(pp["w"], kind, len(xs))
+        z = op(xs[0], parts_w[0])
+        for x, wi in zip(xs[1:], parts_w[1:]):
+            z = z + op(x, wi)
+        z = z + pp["b"].astype(z.dtype)
+    if act:
+        z = leaky_relu(z)
+    return z.astype(out_dtype)
 
 
 def _apply_packed_vel_cat(pp, xs, dxs, kind):
@@ -472,14 +546,16 @@ def _apply_packed_vel_cat(pp, xs, dxs, kind):
     split-parts tangent pair (materialized ``dW``; wcat has 2x the groups)."""
     op = _PACKED_OPS[kind]
     out_dtype = xs[0].dtype
+    wino = "wh" in pp and _wino_on()
     if "g" in pp:
-        parts_w = _cat_weight_parts(pp["w"], kind, len(xs))
+        parts_w = _cat_weight_parts(pp["wh" if wino else "w"], kind, len(xs))
+        conv = _wino_conv if wino else op
         cg = pp["g"].shape[0] // len(xs)
         z = zt = None
         for i, (x, dx, wi) in enumerate(zip(xs, dxs, parts_w)):
             gi = jnp.tile(pp["g"][i * cg : (i + 1) * cg], 2).astype(x.dtype)
-            zi = op(x, wi)
-            zti = op(x * gi + dx, wi)
+            zi = conv(x, wi)
+            zti = conv(x * gi + dx, wi)
             z = zi if z is None else z + zi
             zt = zti if zt is None else zt + zti
         y = z + pp["b"].astype(z.dtype)
@@ -487,6 +563,12 @@ def _apply_packed_vel_cat(pp, xs, dxs, kind):
         return y.astype(out_dtype), dy.astype(out_dtype)
     y = _apply_packed_cat(pp, xs, kind)
     parts = list(xs) + list(dxs)
+    if wino:
+        parts_wh = _cat_weight_parts(pp["whcat"], kind, len(parts))
+        dy = _wino_conv(parts[0], parts_wh[0])
+        for x, wi in zip(parts[1:], parts_wh[1:]):
+            dy = dy + _wino_conv(x, wi)
+        return y, dy.astype(out_dtype)
     parts_w = _cat_weight_parts(pp["wcat"], kind, len(parts))
     dy = op(parts[0], parts_w[0])
     for x, wi in zip(parts[1:], parts_w[1:]):
@@ -504,15 +586,20 @@ def apply_resnet_block_packed_cat(pp, xs, seq):
     y = _crop_packed(y, num_conv)
     xp = None
     conv_idx = 0
-    for op in main_seq:
-        if op == "C":
+    i = 0
+    while i < len(main_seq):
+        if main_seq[i] == "C":
+            # Fuse a directly-following activation into the conv call.
+            fuse = i + 1 < len(main_seq) and main_seq[i + 1] == "A"
             if conv_idx == 0:
-                xp = _apply_packed_cat(pp["conv_0"], xs, "conv")
+                xp = _apply_packed_cat(pp["conv_0"], xs, "conv", act=fuse)
             else:
-                xp = _apply_packed(pp[f"conv_{conv_idx}"], xp, "conv")
+                xp = _apply_packed(pp[f"conv_{conv_idx}"], xp, "conv", act=fuse)
             conv_idx += 1
+            i += 2 if fuse else 1
         else:  # 'A'
             xp = leaky_relu(xp)
+            i += 1
     xp = xp + y
     if last_act:
         xp = leaky_relu(xp)
@@ -559,12 +646,17 @@ def apply_resnet_block_packed(pp, xp, seq):
     y = _apply_packed(pp["skip"], xp, "skip")
     y = _crop_packed(y, num_conv)
     conv_idx = 0
-    for op in main_seq:
-        if op == "C":
-            xp = _apply_packed(pp[f"conv_{conv_idx}"], xp, "conv")
+    i = 0
+    while i < len(main_seq):
+        if main_seq[i] == "C":
+            # Fuse a directly-following activation into the conv call.
+            fuse = i + 1 < len(main_seq) and main_seq[i + 1] == "A"
+            xp = _apply_packed(pp[f"conv_{conv_idx}"], xp, "conv", act=fuse)
             conv_idx += 1
+            i += 2 if fuse else 1
         else:  # 'A'
             xp = leaky_relu(xp)
+            i += 1
     xp = xp + y
     if last_act:
         xp = leaky_relu(xp)
@@ -614,7 +706,7 @@ def apply_resample_block_vel_packed(pp, xp, dxp, seq):
 # ---------------------------------------------------------------------------
 
 
-def pack_resnet_entry_params(p, seq, *, vel: bool = False):
+def pack_resnet_entry_params(p, seq, *, vel: bool = False, wino: bool = False):
     """Fold a 'CACA' entry block's params for packed NCDHW-input execution.
 
     The first conv's nine taps fold into ONE im2col dot operand
@@ -628,7 +720,7 @@ def pack_resnet_entry_params(p, seq, *, vel: bool = False):
     wsk = s2d.pack_w1_entry(p["skip"]["weight"])
     out = {
         "conv_0": {"b": s2d.pack_bias(p["conv_0"]["bias"].astype(jnp.float32))},
-        "conv_1": pack_conv_layer_params(p["conv_1"], "conv", vel=vel),
+        "conv_1": pack_conv_layer_params(p["conv_1"], "conv", vel=vel, wino=wino),
         "skip": {"b": s2d.pack_bias(p["skip"]["bias"].astype(jnp.float32))},
     }
     if vel:
@@ -651,7 +743,7 @@ def apply_resnet_entry_packed(pp, x, seq="CACA"):
     """
     h = s2d.conv3_entry_im2col(x, pp["conv_0"]["w9"]) + pp["conv_0"]["b"].astype(x.dtype)
     h = leaky_relu(h)
-    h = s2d.conv3_packed(h, pp["conv_1"]["w"]) + pp["conv_1"]["b"].astype(x.dtype)
+    h = _apply_packed(pp["conv_1"], h, "conv")
     xs = x[:, :, 2:-2, 2:-2, 2:-2]
     h = h + s2d.conv1_entry_packed(xs, pp["skip"]["w"]) + pp["skip"]["b"].astype(x.dtype)
     return leaky_relu(h)

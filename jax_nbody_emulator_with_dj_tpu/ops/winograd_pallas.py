@@ -184,7 +184,7 @@ def _wino_kernel(
     y_ref[...] = Y.reshape(BD, BH, RW, co)[:, :, :BWP, :]
 
 
-def _vmem_bytes(bd, bh, bwp, c2, co):
+def _vmem_bytes(bd, bh, bwp, c2, co, ob=2):
     """Rough live-VMEM model of the dataflow kernel, matched to measured
     compile successes/failures on v5e (double-buffered input windows,
     8 live f32 tq accumulators + 4 acc + transform temps + weights)."""
@@ -194,12 +194,14 @@ def _vmem_bytes(bd, bh, bwp, c2, co):
         2 * NP * RH * RW * c2 * 2       # double-buffered input windows
         + 9 * mz * co * 4               # f32 tq/acc accumulators
         + 4 * mz * c2 * 2               # transform temps (zf/zn/zw)
-        + 2 * bd * bh * bwp * co * 2    # double-buffered output block
+        + 2 * bd * bh * bwp * co * ob   # double-buffered output block
         + 16 * 2 * c2 * co * 2          # wide-K transformed weights
     )
 
 
-def _pick_block(od: int, oh: int, owp: int, c2: int = 128, co: int = 128):
+def _pick_block(
+    od: int, oh: int, owp: int, c2: int = 128, co: int = 128, ob: int = 2
+):
     """Output block (BD even, BH even, BWP 8-aligned) under ~13 MB VMEM.
 
     Measured on v5e (production phase-3 widths): covering W in ONE block
@@ -212,12 +214,12 @@ def _pick_block(od: int, oh: int, owp: int, c2: int = 128, co: int = 128):
     shapes = ((4, 8), (2, 16), (2, 8), (2, 4))
     full = max(_ceil_to(owp, 8), 8)
     for bd, bh in shapes:
-        if _vmem_bytes(bd, bh, full, c2, co) <= budget:
+        if _vmem_bytes(bd, bh, full, c2, co, ob) <= budget:
             return bd, bh, full
     best = None
     for bwp in range(full - 8, 0, -8):
         for bd, bh in shapes:
-            if _vmem_bytes(bd, bh, bwp, c2, co) <= budget:
+            if _vmem_bytes(bd, bh, bwp, c2, co, ob) <= budget:
                 waste = _ceil_to(owp, bwp) * (bwp + 8) // bwp
                 if best is None or waste < best[0]:
                     best = (waste, bd, bh, bwp)
@@ -227,10 +229,12 @@ def _pick_block(od: int, oh: int, owp: int, c2: int = 128, co: int = 128):
     return best[1], best[2], best[3]
 
 
-@functools.partial(jax.jit, static_argnames=("leaky", "interpret", "block"))
+@functools.partial(
+    jax.jit, static_argnames=("leaky", "interpret", "block", "out_dtype")
+)
 def conv3d_wino_pallas_packed(
     xp, what, bias_unpacked=None, *, leaky: bool = False,
-    interpret: bool = False, block=None,
+    interpret: bool = False, block=None, out_dtype=None,
 ):
     """Packed-domain Winograd conv: xp (B, D, H, WP, 2Ci) -> (B, D-2, H-2, WP-1, 2Co).
 
@@ -241,6 +245,10 @@ def conv3d_wino_pallas_packed(
         bias_unpacked: (Co,) fp32 bias, (2Co,) packed fp32 bias, or None.
         leaky: fuse LeakyReLU(0.01).
         block: optional (BD, BH, BWP) override (BD, BH even, BWP 8-aligned).
+        out_dtype: output dtype (default: xp's).  Passing float32 with bf16
+            operands reproduces XLA's f32-conv-on-TPU semantics (bf16
+            operands at default matmul precision, f32 accumulation and
+            output) — the f32-compute runtime mode uses this.
     """
     b, d, h, wp_dim, c2 = xp.shape
     assert what.shape[:3] == (4, 4, 2) and what.shape[-2] == c2
@@ -257,7 +265,10 @@ def conv3d_wino_pallas_packed(
         bp = jnp.tile(bias_unpacked.astype(jnp.float32), 2)
 
     od, oh, owp = d - 2, h - 2, wp_dim - 1
-    BD, BH, BWP = block if block is not None else _pick_block(od, oh, owp, c2, co)
+    ob = jnp.dtype(out_dtype or xp.dtype).itemsize
+    BD, BH, BWP = (
+        block if block is not None else _pick_block(od, oh, owp, c2, co, ob)
+    )
     assert BD % 2 == 0 and BH % 2 == 0 and BWP % 8 == 0
     NP, RH, RW = BD + 2, BH + 2, BWP + 8
 
@@ -285,7 +296,9 @@ def conv3d_wino_pallas_packed(
             lambda i, j, k: (i, j, k, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((pd_, ph_, pwp, co), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (pd_, ph_, pwp, co), out_dtype or xp.dtype
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, NP, RH, RW, c2), xp.dtype),
             pltpu.SemaphoreType.DMA((2,)),

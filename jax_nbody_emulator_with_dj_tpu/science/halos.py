@@ -358,8 +358,125 @@ def friends_of_friends_slabbed(
         ``friends_of_friends`` on the full particle set.
     """
     n = psi[0].shape[0]
-    L = float(boxsize)
-    b = float(linking_length)
+    slab_subset = _grid_slab_source([(psi, (0, 0, 0))], n, float(boxsize), chunk)
+    return _fof_eulerian_slabs(
+        slab_subset, n, float(boxsize), float(linking_length), nmin,
+        n_slabs, chunk, return_labels, engine,
+    )
+
+
+def friends_of_friends_sharded(
+    shards,
+    n: int,
+    boxsize: float,
+    linking_length: float,
+    nmin: int = 20,
+    n_slabs: int = 8,
+    chunk: int = 4_000_000,
+    return_labels: bool = False,
+    engine: str = "auto",
+):
+    """FoF over a SHARD-decomPOSED displacement field — no full-box array.
+
+    Pod runs leave the displacement spatially sharded over the device mesh
+    (``parallel/sharded_hierarchical.py``); fetching the per-shard pieces
+    to one monolithic (3, N, N, N) host array at 2048^3 would need >100 GB
+    before halo finding even starts.  This finder consumes the per-shard
+    pieces directly (arrays, ``np.memmap``, ``.npy`` paths — opened
+    memory-mapped — or zero-arg callables returning a piece): particles
+    are streamed shard-by-shard, bucketed into the same Eulerian x-slab
+    decomposition the reference's MPI pipeline uses
+    (``/root/reference/scripts/halos.py:352-404``), and the slab runs are
+    stitched with the ghost-zone group merge of
+    :func:`friends_of_friends_slabbed`.  Peak memory is one Eulerian slab
+    (+2 ghost layers) of particles plus one resident shard piece.
+
+    Args:
+        shards: iterable of ``(piece, (i0, j0, k0))`` — a (3, d, h, w)
+            displacement piece [Mpc/h] and its Lagrangian-grid voxel
+            origin.  Pieces must tile the full N^3 grid disjointly.
+        n: global grid extent N.
+        boxsize: periodic box side [Mpc/h].
+        linking_length: absolute linking length b.
+        n_slabs: Eulerian x-slabs (width must be >= 2 b).
+        return_labels: build the (N^3,) label array (4 B/particle).
+
+    Returns:
+        dict with 'lengths', 'centers', 'n_groups' (and 'labels'),
+        identical (up to group ordering) to :func:`friends_of_friends` on
+        the assembled particle set (equivalence-tested in
+        ``tests/test_halos.py``).
+    """
+    resolved = []
+    for piece, origin in shards:
+        if isinstance(piece, str):
+            piece = np.load(piece, mmap_mode="r")
+        resolved.append((piece, tuple(int(o) for o in origin)))
+    slab_subset = _grid_slab_source(resolved, n, float(boxsize), chunk)
+    return _fof_eulerian_slabs(
+        slab_subset, n, float(boxsize), float(linking_length), nmin,
+        n_slabs, chunk, return_labels, engine,
+    )
+
+
+def _grid_slab_source(pieces, n: int, L: float, chunk: int):
+    """Eulerian x-slab membership scans over Lagrangian grid pieces.
+
+    Returns ``slab_subset(x0, width) -> (positions, gids)`` streaming each
+    piece in x-row blocks: displacements are bounded by a few slab widths,
+    so every piece must be scanned per slab, but only ``chunk``-sized row
+    blocks are ever materialized (pieces may be ``np.memmap``).
+    """
+    cell = np.float32(L / n)
+
+    def slab_subset(x0: float, width: float):
+        pos_parts, gid_parts = [], []
+        for piece, (i0, j0, k0) in pieces:
+            resolve = piece if not callable(piece) else piece()
+            d, h, w = resolve[0].shape
+            qx = (np.arange(i0, i0 + d, dtype=np.float32)) * cell
+            qy = (np.arange(j0, j0 + h, dtype=np.float32)) * cell
+            qz = (np.arange(k0, k0 + w, dtype=np.float32)) * cell
+            rows = max(1, int(chunk // max(h * w, 1)))
+            for r0 in range(0, d, rows):
+                r1 = min(r0 + rows, d)
+                px = np.mod(
+                    qx[r0:r1, None, None]
+                    + np.asarray(resolve[0][r0:r1], np.float32),
+                    L,
+                )
+                sel = np.mod(px - x0, L) < width
+                if not sel.any():
+                    continue
+                py = np.mod(
+                    qy[None, :, None]
+                    + np.asarray(resolve[1][r0:r1], np.float32),
+                    L,
+                )
+                pz = np.mod(
+                    qz[None, None, :]
+                    + np.asarray(resolve[2][r0:r1], np.float32),
+                    L,
+                )
+                gid = (
+                    (np.arange(i0 + r0, i0 + r1, dtype=np.int64)[:, None, None] * n
+                     + np.arange(j0, j0 + h, dtype=np.int64)[None, :, None]) * n
+                    + np.arange(k0, k0 + w, dtype=np.int64)[None, None, :]
+                )
+                pos_parts.append(np.stack([px[sel], py[sel], pz[sel]], axis=-1))
+                gid_parts.append(gid[sel])
+        if not pos_parts:
+            return np.zeros((0, 3), np.float32), np.zeros(0, np.int64)
+        return np.concatenate(pos_parts), np.concatenate(gid_parts)
+
+    return slab_subset
+
+
+def _fof_eulerian_slabs(
+    slab_subset, n: int, L: float, b: float, nmin: int, n_slabs: int,
+    chunk: int, return_labels: bool, engine: str,
+):
+    """Shared Eulerian-slab FoF engine (see ``friends_of_friends_slabbed``)."""
     if n_slabs < 1:
         raise ValueError("n_slabs must be >= 1")
     slab_w = L / n_slabs
@@ -368,38 +485,6 @@ def friends_of_friends_slabbed(
             f"slab width {slab_w:.3f} < 2 linking lengths {2 * b:.3f}: "
             f"reduce n_slabs"
         )
-    q1 = np.arange(n, dtype=np.float32) * (L / n)
-
-    def slab_subset(x0: float, width: float):
-        """Positions+gids of particles with x in [x0, x0+width) mod L."""
-        pos_parts, gid_parts = [], []
-        rows = max(1, int(chunk // (n * n)))
-        for r0 in range(0, n, rows):
-            r1 = min(r0 + rows, n)
-            px = np.mod(
-                q1[r0:r1, None, None] + np.asarray(psi[0][r0:r1], np.float32), L
-            )
-            sel = np.mod(px - x0, L) < width
-            if not sel.any():
-                continue
-            py = np.mod(
-                q1[None, :, None] + np.asarray(psi[1][r0:r1], np.float32), L
-            )
-            pz = np.mod(
-                q1[None, None, :] + np.asarray(psi[2][r0:r1], np.float32), L
-            )
-            gid = (
-                (np.arange(r0, r1, dtype=np.int64)[:, None, None] * n
-                 + np.arange(n, dtype=np.int64)[None, :, None]) * n
-                + np.arange(n, dtype=np.int64)[None, None, :]
-            )
-            pos_parts.append(
-                np.stack([px[sel], py[sel], pz[sel]], axis=-1)
-            )
-            gid_parts.append(gid[sel])
-        if not pos_parts:
-            return np.zeros((0, 3), np.float32), np.zeros(0, np.int64)
-        return np.concatenate(pos_parts), np.concatenate(gid_parts)
 
     if n_slabs == 1:
         pos, gid = slab_subset(0.0, L)
