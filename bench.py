@@ -22,13 +22,8 @@ import warnings
 
 import numpy as np
 
-# The hierarchical runtime donates the input box into the scale program on
-# purpose: the wrap-padded output can't alias it (different shape), but
-# donation still frees the ~1 GB input buffer the moment the program runs.
-# XLA warns about the non-aliasing; that's the intended behavior here.
-warnings.filterwarnings(
-    "ignore", message="Some donated buffers were not usable"
-)
+# (The input-donation "not usable" warning is silenced at its source in
+# hierarchical.process_box, where the free-early intent is documented.)
 
 # Reference A100 numbers at 512^3 (README.md:245-252), keyed by
 # (style, vel, f32).  bf16 rows compare against the reference's fp16 rows.
@@ -251,7 +246,10 @@ def main():
             t2 = min(2 * t, args.size)
             tile = (t, t, t2) if f32 else (t, t2, t2)
         tile1 = args.tile1 if args.tile1 else min(64 if compute_vel else 128, args.size // 2)
-        slab = args.slab or min(64 if compute_vel else 32, args.size)
+        # f32 vel sits at the allocator edge; the Winograd path's padded
+        # windows need the slimmer 32-slab phase 1 (measured: slab 64
+        # RESOURCE_EXHAUSTs, slab 32 runs 18.8 s at 512^3 — round 4).
+        slab = args.slab or min(32 if (compute_vel and f32) else (64 if compute_vel else 32), args.size)
         slab_h_default = (
             max(args.size // 4, 8) if f32
             else (args.size // 2 if compute_vel and args.size >= 256 else None)

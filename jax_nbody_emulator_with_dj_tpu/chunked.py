@@ -347,7 +347,18 @@ class ChunkedHierarchicalProcessor:
                     timings[k] = timings.get(k, 0.0) + v
             for i, (o, r) in enumerate(zip(outs, res)):
                 if as_numpy:
-                    r = np.asarray(self._crop(r, jnp.dtype(odt)))
+                    # _crop donates the uncropped inner output for early
+                    # release; the cropped result can never alias it
+                    # (different shape), so silence the known-benign
+                    # "not usable" warning (intent documented at the jit).
+                    import warnings as _warnings
+
+                    with _warnings.catch_warnings():
+                        _warnings.filterwarnings(
+                            "ignore",
+                            message="Some donated buffers were not usable",
+                        )
+                        r = np.asarray(self._crop(r, jnp.dtype(odt)))
                     dst = tuple(slice(ai, ai + c) for ai, c in zip(a, cfg.chunk_size))
                     o[(slice(None),) + dst] = r
                     if chunk_files is not None:

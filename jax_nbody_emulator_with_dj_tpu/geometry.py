@@ -36,12 +36,14 @@ from .hierarchical import HierarchicalConfig
 
 # Per-voxel transient coefficients: live mid-channel tensors in flight per
 # stage, calibrated so every measured-working 512^3 v5e geometry passes and
-# every measured-OOM one fails (bf16 vel tile (128,128,256) ok /
-# (128,256,256) OOM; f32 vel (128,128,64) ok / (128,128,128) OOM; bf16 disp
-# (128,256,256) ok; f32 disp (128,128,256) ok).  Phase 1 streams fewer
-# simultaneous tensors than the decode (no skip concat, no residual stash).
+# every measured-OOM one fails.  Round 4 (Winograd conv path — each conv
+# adds a padded-window input copy and a padded output): bf16 vel
+# (128,128,128) ok / (128,128,256) OOM (was ok pre-Winograd); f32 vel
+# (128,128,64) ok; bf16 disp (128,256,256) ok; f32 disp (128,128,256) ok.
+# Phase 1 streams fewer simultaneous tensors than the decode (no skip
+# concat, no residual stash).
 _LIVE_P1 = {False: 3, True: 6}   # keyed by compute_vel
-_LIVE_P3 = {False: 6, True: 10}
+_LIVE_P3 = {False: 6, True: 12}
 _HEADROOM = 0.88  # use at most this fraction of the stated HBM
 
 MID_CHAN = 64  # the shipped models' interior width (mid_chan)
@@ -117,13 +119,19 @@ def _monolithic_config(size, dtype, compute_vel, output_dtype, in_chan,
         return _largest_divisor(size[i], cap, mult)
 
     if compute_vel:
-        wcap = max(t // 2, 4) if f32 else 2 * t
+        # bf16 vel: 128^3 tiles measure best with the Winograd conv path
+        # (11.6 s at 512^3; (128,128,256) OOMs on its padded windows).
+        wcap = max(t // 2, 4) if f32 else t
         tile = (ax(0, t), ax(1, t), ax(2, wcap, mult=4))
     else:
         tile = (ax(0, t), ax(1, t if f32 else 2 * t), ax(2, 2 * t, mult=4))
     cfg = HierarchicalConfig(
         size=size,
-        slab=_largest_divisor(size[0], 64 if compute_vel else 32, 2),
+        # f32 vel: slab 32 (the Winograd path's padded windows push the
+        # 64-slab phase 1 past the allocator at 512^3 — measured round 4)
+        slab=_largest_divisor(
+            size[0], 32 if (compute_vel and f32) else (64 if compute_vel else 32), 2
+        ),
         slab_h=(
             _largest_divisor(size[1], max(size[1] // 4, 8), 2) if f32
             else (size[1] // 2 if compute_vel and size[1] >= 256 else None)

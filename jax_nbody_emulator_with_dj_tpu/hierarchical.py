@@ -1102,7 +1102,23 @@ class HierarchicalProcessor:
             input_box = input_box.astype(jnp.dtype(cfg.dtype))
         exec_params = self._exec_params_for(z, Om)
         scale = self._scale_donate if donate_input else self._scale
-        boxp = scale(jnp.asarray(input_box, cfg.dtype), Dz)
+        if donate_input:
+            # The donated input can never alias the output (the scale
+            # program's only output is the PADDED box — different shape),
+            # so jax warns "donated buffers were not usable".  The
+            # donation is intentional free-early semantics, not aliasing:
+            # XLA may release the input buffer as soon as the pad has
+            # consumed it, which is the ~1 GB margin memory-tight
+            # geometries need.  Silence the known-benign warning.
+            import warnings as _warnings
+
+            with _warnings.catch_warnings():
+                _warnings.filterwarnings(
+                    "ignore", message="Some donated buffers were not usable"
+                )
+                boxp = scale(jnp.asarray(input_box, cfg.dtype), Dz)
+        else:
+            boxp = scale(jnp.asarray(input_box, cfg.dtype), Dz)
         del input_box
         _stamp("scale", boxp)
 

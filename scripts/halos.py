@@ -25,7 +25,12 @@ apply_jax_platforms_env()  # honor JAX_PLATFORMS even with pre-registered plugin
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--displacement", required=True, help="psi .npy (3, N, N, N) [Mpc/h]")
+    p.add_argument("--displacement", required=True,
+                   help="psi .npy (3, N, N, N) [Mpc/h], or a glob of "
+                        "per-shard pieces named *_<i0>_<j0>_<k0>.npy "
+                        "(voxel origins — the naming examples/run_pod.py "
+                        "--out-dir emits); shards are memory-mapped and "
+                        "streamed, never assembled into one array")
     p.add_argument("--boxsize", type=float, required=True)
     p.add_argument("--Om", type=float, default=0.3175)
     p.add_argument("--z", type=float, default=0.0)
@@ -51,6 +56,7 @@ def main():
     from jax_nbody_emulator_with_dj_tpu.science.halos import (
         empirical_hmf,
         friends_of_friends,
+        friends_of_friends_sharded,
         friends_of_friends_slabbed,
         particle_mass_msun_h,
         positions_from_displacement,
@@ -63,6 +69,52 @@ def main():
         lengths, centers = cat["lengths"], cat["centers"]
         meta = json.loads((out_dir / "fof_summary.json").read_text())
         n_part = meta["n_part"]
+    elif any(c in args.displacement for c in "*?["):
+        # Per-shard pieces straight from a pod run (examples/run_pod.py
+        # --out-dir): origins parsed from the *_<i0>_<j0>_<k0>.npy names.
+        import glob
+        import re
+
+        files = sorted(glob.glob(args.displacement))
+        if not files:
+            raise SystemExit(f"no files match {args.displacement!r}")
+        shards = []
+        n_part = 0
+        for f in files:
+            m = re.search(r"_(\d+)_(\d+)_(\d+)\.npy$", f)
+            if not m:
+                raise SystemExit(
+                    f"{f}: shard files must be named *_<i0>_<j0>_<k0>.npy"
+                )
+            origin = tuple(int(g) for g in m.groups())
+            piece = np.load(f, mmap_mode="r")
+            n_part = max(n_part, origin[0] + piece.shape[1])
+            shards.append((piece, origin))
+        b_abs = args.linking_length * args.boxsize / n_part
+        n_slabs = max(args.n_slabs, 1)
+        print(f"sharded FoF over {len(shards)} pieces (N={n_part}), "
+              f"b = {b_abs:.4f} Mpc/h, {n_slabs} Eulerian slab(s) ...",
+              flush=True)
+        fof = friends_of_friends_sharded(
+            shards, n_part, args.boxsize, b_abs, nmin=args.nmin,
+            n_slabs=n_slabs, engine=args.engine,
+        )
+        lengths, centers = fof["lengths"], fof["centers"]
+        np.savez(cat_path, lengths=lengths, centers=centers)
+        meta = {
+            "n_part": int(n_part),
+            "boxsize": args.boxsize,
+            "Om": args.Om,
+            "z": args.z,
+            "linking_length": args.linking_length,
+            "nmin": args.nmin,
+            "n_halos": int(fof["n_groups"]),
+            "largest_halo_particles": int(lengths.max()) if len(lengths) else 0,
+            "n_shards": len(shards),
+        }
+        with open(out_dir / "fof_summary.json", "w") as f:
+            json.dump(meta, f, indent=2)
+        print(json.dumps(meta, indent=2))
     else:
         psi = np.load(args.displacement, mmap_mode="r" if args.n_slabs > 1 else None)
         n_part = psi.shape[1]

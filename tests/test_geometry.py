@@ -52,9 +52,12 @@ class TestAutoConfig:
         """The planner must emit the hand-measured v5e table at 512^3."""
         want = {  # (f32, vel) -> (slab, slab_h, tile, tile1)
             (False, False): (32, None, (128, 256, 256), 128),
-            (False, True): (64, 256, (128, 128, 256), 64),
+            # round 4: the Winograd conv path's padded windows shrank the
+            # fitting bf16 vel tile to 128^3 (measured: (128,128,256) OOM,
+            # 128^3 = the 11.6 s bench geometry)
+            (False, True): (64, 256, (128, 128, 128), 64),
             (True, False): (32, 128, (128, 128, 256), 128),
-            (True, True): (64, 128, (128, 128, 64), 64),
+            (True, True): (32, 128, (128, 128, 64), 64),
         }
         for (f32, vel), (slab, slab_h, tile, tile1) in want.items():
             cfg = auto_hierarchical_config(

@@ -273,6 +273,44 @@ class TestFoFSlabbed:
         with pytest.raises(ValueError, match="slab width"):
             friends_of_friends_slabbed(psi, 8.0, 2.0, n_slabs=4)
 
+    @pytest.mark.parametrize("grid", [(2, 2, 2), (4, 1, 1), (1, 2, 3)])
+    def test_sharded_matches_monolithic(self, grid, tmp_path):
+        """Per-shard pieces (arrays + .npy paths mixed) -> same catalog."""
+        from jax_nbody_emulator_with_dj_tpu.science.halos import (
+            friends_of_friends_sharded,
+        )
+
+        n, box = 24, 60.0
+        psi = self._psi_grf(n, box, seed=11)
+        b = 0.2 * box / n
+        shards = []
+        gi, gj, gk = grid
+        di, dj, dk = n // gi, n // gj, n // gk
+        for i in range(gi):
+            for j in range(gj):
+                for k in range(gk):
+                    piece = psi[
+                        :, i * di:(i + 1) * di, j * dj:(j + 1) * dj,
+                        k * dk:(k + 1) * dk,
+                    ]
+                    if (i + j + k) % 2:  # half the shards arrive as files
+                        f = tmp_path / f"shard_{i}{j}{k}.npy"
+                        np.save(f, piece)
+                        piece = str(f)
+                    shards.append((piece, (i * di, j * dj, k * dk)))
+        got = friends_of_friends_sharded(
+            shards, n, box, b, nmin=5, n_slabs=3, return_labels=True
+        )
+        pos = positions_from_displacement(psi, box)
+        ref = friends_of_friends(pos, box, b, nmin=5)
+        assert got["n_groups"] == ref["n_groups"]
+        np.testing.assert_array_equal(
+            self._canonical(got["labels"]), self._canonical(ref["labels"])
+        )
+        np.testing.assert_array_equal(
+            np.sort(got["lengths"]), np.sort(ref["lengths"])
+        )
+
     def test_memmap_input(self, tmp_path):
         n, box = 16, 40.0
         psi = self._psi_grf(n, box, seed=9)
