@@ -138,10 +138,16 @@ def _wino_kernel(
     O0, O1 = O[:TD], O[1:]
     a = (E0 - E1, O0 + E1, E1 - O0, O0 - O1)   # BT rows 0..3 along D
 
-    # AT is applied factored — first over v (4 adds per u), then over u
-    # (4 adds) — 24 (M, c2) f32 adds total instead of the 36 a direct
-    # per-point scatter-accumulation costs.
-    tq = [[None] * 2 for _ in range(4)]  # tq[u][q] = sum_v AT[q,v] s_uv
+    # AT is applied factored — first over v (4 adds per u), then each u's
+    # pair folds straight into the parity accumulators (28 (M, co) f32
+    # adds vs 36 for a per-point scatter) — folding per u keeps at most
+    # 4 accumulators + one u's temporaries live, which is what lets the
+    # larger blocks fit VMEM.
+    acc = [None] * 4
+
+    def fold(pq, t):
+        acc[pq] = t if acc[pq] is None else acc[pq] + t
+
     for u in range(4):
         r = a[u].reshape(TD, RH // 2, 2, RW, c2)
         Eh, Oh = r[:, :, 0], r[:, :, 1]        # (TD, TH+1, RW, c2)
@@ -157,15 +163,26 @@ def _wino_kernel(
             # only in dropped halo columns (rw = RW-1 >= BWP).
             zn = jnp.concatenate([zf[1:], zf[:1]], axis=0)
             zw = jnp.concatenate([zf, zn], axis=1)
+            # precision pinned: the kernel's contract is bf16 operands
+            # with f32 accumulation; a global
+            # jax_default_matmul_precision=highest would otherwise ask
+            # Mosaic for an fp32-precision bf16 matmul it cannot lower.
             s_uv.append(
-                jnp.dot(zw, w_ref[u, v], preferred_element_type=jnp.float32)
+                jnp.dot(
+                    zw, w_ref[u, v],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
             )
-        tq[u][0] = (s_uv[0] + s_uv[1]) + s_uv[2]
-        tq[u][1] = (s_uv[1] - s_uv[2]) - s_uv[3]
-    acc = [None] * 4
-    for q in range(2):
-        acc[0 + q] = (tq[0][q] + tq[1][q]) + tq[2][q]
-        acc[2 + q] = (tq[1][q] - tq[2][q]) - tq[3][q]
+        tu0 = (s_uv[0] + s_uv[1]) + s_uv[2]    # AT row 0 over v
+        tu1 = (s_uv[1] - s_uv[2]) - s_uv[3]    # AT row 1 over v
+        cu0, cu1 = _AT_ROWS[0][u], _AT_ROWS[1][u]
+        if cu0:
+            fold(0, tu0 if cu0 == 1 else -tu0)
+            fold(1, tu1 if cu0 == 1 else -tu1)
+        if cu1:
+            fold(2, tu0 if cu1 == 1 else -tu0)
+            fold(3, tu1 if cu1 == 1 else -tu1)
 
     bias = b_ref[:].astype(jnp.float32)
 
@@ -192,7 +209,7 @@ def _vmem_bytes(bd, bh, bwp, c2, co, ob=2):
     mz = (bd // 2) * (bh // 2) * RW
     return (
         2 * NP * RH * RW * c2 * 2       # double-buffered input windows
-        + 9 * mz * co * 4               # f32 tq/acc accumulators
+        + 8 * mz * co * 4               # f32 parity accumulators + u-temps
         + 4 * mz * c2 * 2               # transform temps (zf/zn/zw)
         + 2 * bd * bh * bwp * co * ob   # double-buffered output block
         + 16 * 2 * c2 * co * 2          # wide-K transformed weights

@@ -37,6 +37,10 @@ def main():
     p.add_argument("--n-slabs", type=int, default=1,
                    help=">1 additionally records the slab-streamed finder")
     p.add_argument("--nmin", type=int, default=20)
+    p.add_argument("--clump-sigma", type=float, default=1.0,
+                   help="clump radius in grid cells; 0.3 is the extreme "
+                        "delta-core regime (~2.7e11 candidate pairs at "
+                        "512^3 — native engine only)")
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
 
@@ -51,10 +55,11 @@ def main():
     rec = {
         "n_part": n, "boxsize": L, "nmin": args.nmin,
         "linking_length_rel": 0.2, "host": "single host, no MPI",
+        "clump_sigma_cells": args.clump_sigma,
         "ic": "synthetic clumped displacement: 20% of particles fall into "
-              "~N^3/5e4 Gaussian clumps (sigma = 0.3 cells), rest stay on "
-              "the grid — dense 10^4-particle cores are the worst case for "
-              "the cell-hash pair expansion",
+              "~N^3/5e4 Gaussian clumps, rest stay on the grid — dense "
+              "10^4-particle clumps exercise the cell-hash dense-pair "
+              "streaming",
         "runs": [],
     }
 
@@ -79,7 +84,7 @@ def main():
         q = np.broadcast_to(q1.reshape(shape), (n, n, n)).reshape(-1)
         comp[infall] = (
             centers[which, d] - q[infall]
-            + rng.normal(0.0, 0.3 * cell, size=len(which)).astype(np.float32)
+            + rng.normal(0.0, args.clump_sigma * cell, size=len(which)).astype(np.float32)
         )
         psi[d] = comp.reshape(n, n, n)
     del infall, which

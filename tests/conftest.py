@@ -8,7 +8,11 @@ imported gives us 8 virtual CPU devices in any environment.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# EMU_TEST_TPU=1 keeps the real accelerator visible so the TPU-gated
+# compiled-kernel tests (tests/test_pallas_conv.py::TestWinoPallasOnTpu)
+# can run; the default CPU forcing is what the portable CI tier uses.
+if not os.environ.get("EMU_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,7 +25,8 @@ import jax  # noqa: E402
 
 # The environment may pre-register an accelerator backend (e.g. a tunneled
 # TPU) that ignores the JAX_PLATFORMS env var; the config knob still wins.
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("EMU_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)
 # This JAX build's default fp32 matmul/conv uses a reduced-precision fast
