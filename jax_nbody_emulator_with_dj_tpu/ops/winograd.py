@@ -3,7 +3,7 @@
 The interior convs run space-to-depth packed (``ops/s2d.py``): a 3x3x3 conv
 is an exact (3, 3, 2)-tap conv on (B, D, H, W/2, 2C) tensors.  The measured
 per-chip ceiling for such K=128 conv/dot streams is ~67 TF/s (XLA emitter)
-/ ~80 TF/s raw (``scripts/microbench_dots.py``) — well under the v5e's
+/ ~80 TF/s raw (``scripts/experiments/microbench_dots.py``) — well under the v5e's
 197 TF/s big-GEMM peak — so past round 2 the only way to make the conv
 stack faster is to make it *do fewer MACs*.
 

@@ -1,6 +1,6 @@
 """Pallas TPU kernel: F(2,3)^2 Winograd packed conv (+bias +LeakyReLU).
 
-Why this kernel exists.  Round-2/3 measurement (`scripts/microbench_dots.py`,
+Why this kernel exists.  Round-2/3 measurement (`scripts/experiments/microbench_dots.py`,
 README "A note on measuring") pinned the packed 3x3x2 conv against this
 chip's K=128 dot-stream cap: XLA's emitter runs ~67 TF/s true, the
 strip-streamed hand kernel (`ops/stripe_conv.py`) ~57, and chained

@@ -4,7 +4,7 @@ Chains N ops inside ONE jit so the tunneled backend's per-dispatch latency
 (~30 ms) amortizes out; reports achieved useful TF/s (counting the unpacked
 conv FLOPs, not the 25% parity-zero padding of packed weights).
 
-Usage: python scripts/microbench_conv.py
+Usage: python scripts/experiments/microbench_conv.py
 """
 
 from __future__ import annotations

@@ -14,7 +14,7 @@ the nine (kd, kh) taps into two pure-reshape K=256 dots:
 with the kernel rows stacked (Wp[kd,kh,0]; Wp[kd,kh,1]).  The price is one
 output interleave (pad+stack+reshape) per conv.
 
-Usage: python scripts/microbench_parity256.py [--d D --h H --w Wvox]
+Usage: python scripts/experiments/microbench_parity256.py [--d D --h H --w Wvox]
 
 VERDICT (v5e, (144,144,272) bf16, chain of 8): XLA conv3_packed 82.7 TF/s;
 parity K=256 dots 7.7; tap-unrolled K=128 dots 17.5.  The nine shifted

@@ -6,7 +6,7 @@ floor); reports *useful* TF/s counting the direct conv's FLOPs
 end-to-end win.  Also measures the fused vel (primal+tangent) triple and
 bf16 worst-case error vs an f32 direct reference.
 
-Usage: python scripts/microbench_wino.py [--dh 130] [--w 132] [--chain 8]
+Usage: python scripts/experiments/microbench_wino.py [--dh 130] [--w 132] [--chain 8]
 """
 
 from __future__ import annotations

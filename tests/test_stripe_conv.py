@@ -1,7 +1,7 @@
 """Strip-streamed Pallas conv kernel: exactness vs the XLA packed conv.
 
 Runs in Pallas interpreter mode on CPU (the TPU-compiled path is exercised
-by ``scripts/microbench_stripe.py`` on real hardware).
+by ``scripts/experiments/microbench_stripe.py`` on real hardware).
 """
 
 import jax
