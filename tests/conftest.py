@@ -29,6 +29,22 @@ if not os.environ.get("EMU_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the fast tier's wall-clock is dominated by
+# XLA compiles of the tiny fixture models (measured ~2x on a cold/warm
+# A-B at the single-model level); warm reruns — the tier a developer
+# actually iterates with — skip almost all of it.  EMU_TEST_NO_CACHE=1
+# disables (e.g. to measure true compile paths).
+if not os.environ.get("EMU_TEST_NO_CACHE"):
+    _cache_dir = os.path.expanduser(
+        os.environ.get("EMU_TEST_CACHE", "~/.cache/jax_nbody_tests")
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 # This JAX build's default fp32 matmul/conv uses a reduced-precision fast
 # path (~2e-3 rel error); tests need deterministic fp32 numerics.
 jax.config.update("jax_default_matmul_precision", "highest")
