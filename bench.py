@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 import warnings
@@ -37,6 +38,142 @@ BASELINE_SECONDS = {
     (False, True, True): 44.7,
     (True, True, True): 44.9,
 }
+
+
+def _git_sha():
+    """Measurement provenance: the commit the record was taken at."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
+
+def geometry_desc(cfg):
+    """Compact JSON-able description of an execution geometry."""
+    from jax_nbody_emulator_with_dj_tpu.chunked import ChunkedHierarchicalConfig
+    from jax_nbody_emulator_with_dj_tpu.hierarchical import HierarchicalConfig
+
+    if isinstance(cfg, ChunkedHierarchicalConfig):
+        return {"runtime": "chunked", "chunks": list(cfg.chunks), "pad": cfg.pad}
+    if isinstance(cfg, HierarchicalConfig):
+        return {
+            "runtime": "hierarchical", "slab": cfg.slab, "slab_h": cfg.slab_h,
+            "tile": list(cfg.tile), "tile1": cfg.tile1,
+        }
+    return {"runtime": "subbox", "ndiv": list(cfg.ndiv)}
+
+
+def run_with_fallback(measure, proc, chunked, model, params, compute_vel):
+    """Run ``measure(proc, chunked)``; on device OOM rebuild down the ladder.
+
+    The driver gets ONE bench run per round, and a geometry at the HBM
+    allocator edge can RESOURCE_EXHAUST on fragmentation even when its
+    audit fits (round 4's official record was exactly that crash).  Every
+    OOM here is answered with a strictly smaller working set from
+    ``geometry.fallback_ladder`` — slimmer phase transients first, then the
+    chunked decomposition — so a degraded-but-finished record always beats
+    a crash.  Returns ``(times, trail, proc)``; ``times is None`` means
+    every rung OOM'd, and ``trail`` lists each failed geometry with its
+    error (a degraded run is *visible*, never silent).
+    """
+    import gc
+
+    from jax_nbody_emulator_with_dj_tpu.chunked import (
+        ChunkedHierarchicalConfig,
+        ChunkedHierarchicalProcessor,
+    )
+    from jax_nbody_emulator_with_dj_tpu.geometry import (
+        fallback_ladder,
+        is_oom_error,
+    )
+    from jax_nbody_emulator_with_dj_tpu.hierarchical import (
+        HierarchicalConfig,
+        HierarchicalProcessor,
+    )
+    from jax_nbody_emulator_with_dj_tpu.subbox import (
+        SubboxConfig,
+        SubboxProcessor,
+    )
+
+    def ladder(cfg):
+        if isinstance(cfg, ChunkedHierarchicalConfig):
+            # Already chunked: the only slimmer shape is deeper chunking.
+            cur = int(np.prod(cfg.chunks))
+            for chunks in ((2, 1, 1), (2, 2, 1), (2, 2, 2), (4, 2, 2)):
+                if int(np.prod(chunks)) <= cur:
+                    continue
+                align = 16 if cfg.packed else 8
+                if not all(
+                    s % c == 0 and (s // c) % align == 0 and s // c >= 64
+                    for s, c in zip(cfg.size, chunks)
+                ):
+                    continue
+                yield f"chunked{chunks}", ChunkedHierarchicalConfig(
+                    size=cfg.size, chunks=chunks, pad=cfg.pad,
+                    dtype=cfg.dtype, output_dtype=cfg.output_dtype,
+                    in_chan=cfg.in_chan, packed=cfg.packed,
+                    buf_dtype=cfg.buf_dtype,
+                )
+        elif isinstance(cfg, HierarchicalConfig):
+            yield from fallback_ladder(cfg, compute_vel)
+        else:  # subbox: finer decomposition, largest subbox axis first
+            ndiv = list(cfg.ndiv)
+            for _ in range(4):
+                order = sorted(
+                    range(3), key=lambda i: -(cfg.size[i] // ndiv[i])
+                )
+                for ax in order:
+                    n = ndiv[ax] * 2
+                    if cfg.size[ax] % n == 0 and (cfg.size[ax] // n) % 8 == 0:
+                        ndiv[ax] = n
+                        break
+                else:
+                    return
+                yield f"subbox{tuple(ndiv)}", SubboxConfig(
+                    size=cfg.size, ndiv=tuple(ndiv), dtype=cfg.dtype,
+                    output_dtype=cfg.output_dtype,
+                )
+
+    def rebuild(cfg):
+        if isinstance(cfg, ChunkedHierarchicalConfig):
+            return ChunkedHierarchicalProcessor(model, params, cfg), True
+        if isinstance(cfg, HierarchicalConfig):
+            return HierarchicalProcessor(model, params, cfg), False
+        return SubboxProcessor(model, params, cfg), False
+
+    trail = []
+    rungs = ladder(proc.config)
+    while True:
+        try:
+            times = measure(proc, chunked)
+            if trail:
+                trail[-1]["recovered_with"] = geometry_desc(proc.config)
+            return times, trail, proc
+        except Exception as e:
+            if not is_oom_error(e):
+                raise
+            trail.append({
+                "geometry": geometry_desc(proc.config),
+                "error": f"{type(e).__name__}: {str(e)[:200]}",
+            })
+            nxt = next(rungs, None)
+            if nxt is None:
+                return None, trail, None
+            name, cfg = nxt
+            print(
+                f"# OOM on {geometry_desc(proc.config)} -> retrying at "
+                f"fallback rung '{name}': {geometry_desc(cfg)}",
+                file=sys.stderr,
+            )
+            del proc
+            gc.collect()
+            proc, chunked = rebuild(cfg)
 
 
 def main():
@@ -299,89 +436,125 @@ def main():
 
     from jax_nbody_emulator_with_dj_tpu.utils.timing import force_sync
 
-    # Stage the input on device: emulation consumes on-device fields in
-    # production (the IC/LPT pipeline runs on the same chip), and the tunneled
-    # test environment's H2D path is slow enough to dominate otherwise.
-    chunked = use_hier and chunks and any(c > 1 for c in chunks)
-    # The chunked runtime keeps the global box alive across chunks (each
-    # chunk is donated into its inner run instead).
-    donate = bool(args.donate_input and use_hier and not chunked)
-    if args.host_input:
-        box_host = (
-            np.random.default_rng(1)
-            .normal(size=(3,) + size)
-            .astype(np.dtype(args.dtype))
-        )
+    chunked = bool(use_hier and chunks and any(c > 1 for c in chunks))
 
-        def make_box(i):
-            return box_host
-    elif donate or chunked:
-        # Donating mode consumes the input each run; regenerate it on device
-        # (outside the timed region) instead of re-uploading through the
-        # tunnel.  The chunked runtime reuses one device-resident box.
-        gen = jax.jit(
-            lambda k: jax.random.normal(k, (3,) + size, jnp.dtype(args.dtype))
-        )
-        if chunked:
-            box0 = gen(jax.random.key(1))
-            force_sync(box0)
+    def measure(proc, chunked):
+        """Stage input, warm up, run the timed loop.  Raises on OOM."""
+        # Stage the input on device: emulation consumes on-device fields in
+        # production (the IC/LPT pipeline runs on the same chip), and the
+        # tunneled test environment's H2D path is slow enough to dominate
+        # otherwise.
+        # The chunked runtime keeps the global box alive across chunks (each
+        # chunk is donated into its inner run instead).
+        donate = bool(args.donate_input and use_hier and not chunked)
+        if args.host_input:
+            box_host = (
+                np.random.default_rng(1)
+                .normal(size=(3,) + size)
+                .astype(np.dtype(args.dtype))
+            )
 
             def make_box(i):
-                return box0
+                return box_host
+        elif donate or chunked:
+            # Donating mode consumes the input each run; regenerate it on
+            # device (outside the timed region) instead of re-uploading
+            # through the tunnel.  The chunked runtime reuses one
+            # device-resident box.
+            gen = jax.jit(
+                lambda k: jax.random.normal(k, (3,) + size, jnp.dtype(args.dtype))
+            )
+            if chunked:
+                box0 = gen(jax.random.key(1))
+                force_sync(box0)
+
+                def make_box(i):
+                    return box0
+            else:
+
+                def make_box(i):
+                    b = gen(jax.random.key(i))
+                    force_sync(b)
+                    return b
         else:
+            box_host = (
+                np.random.default_rng(1).normal(size=(3,) + size).astype(np.float32)
+            )
+            box = jax.device_put(jnp.asarray(box_host.astype(jnp.dtype(args.dtype))))
+            del box_host
 
             def make_box(i):
-                b = gen(jax.random.key(i))
-                force_sync(b)
-                return b
-    else:
-        box_host = np.random.default_rng(1).normal(size=(3,) + size).astype(np.float32)
-        box = jax.device_put(jnp.asarray(box_host.astype(jnp.dtype(args.dtype))))
-        del box_host
+                return box
 
-        def make_box(i):
-            return box
+        kw = {"profile": True} if (args.profile and use_hier) else {}
+        if donate:
+            kw["donate_input"] = True
 
-    kw = {"profile": True} if (args.profile and use_hier) else {}
-    if donate:
-        kw["donate_input"] = True
+        # Warmup / compile (excluded, as in the reference's published
+        # numbers).  NB: block_until_ready is a no-op on some remote
+        # backends; force_sync reads back one element per output, a true
+        # completion barrier.
+        as_numpy = bool(args.host_input)  # host mode: assemble outputs in RAM
+        if args.host_input and chunked:
+            # Warm the inner phase programs with a device-generated chunk:
+            # warming through process_box would push the full box through
+            # the host<->device link a second time (the link is the reason
+            # host mode exists, and in this sandbox it runs at ~5 MB/s).
+            warm = jax.jit(
+                lambda: jnp.zeros(
+                    (3,) + proc.config.inner_size, jnp.dtype(args.dtype)
+                )
+            )()
+            force_sync(warm)
+            res = proc.inner.process_box(
+                warm, z=0.0, Om=0.3175, as_numpy=False, donate_input=True
+            )
+            for t in res if isinstance(res, tuple) else (res,):
+                force_sync(proc._crop(t, np.dtype(proc.config.output_dtype)))
+        else:
+            out = proc.process_box(
+                make_box(0), z=0.0, Om=0.3175, as_numpy=as_numpy,
+                **({"donate_input": True} if donate else {}),
+            )
+            force_sync(out)
 
-    # Warmup / compile (excluded, as in the reference's published numbers).
-    # NB: block_until_ready is a no-op on some remote backends; force_sync
-    # reads back one element per output, a true completion barrier.
-    as_numpy = bool(args.host_input)  # host mode: assemble outputs in RAM
-    if args.host_input and chunked:
-        # Warm the inner phase programs with a device-generated chunk:
-        # warming through process_box would push the full box through the
-        # host<->device link a second time (the link is the reason host
-        # mode exists, and in this sandbox it runs at ~5 MB/s).
-        warm = jax.jit(
-            lambda: jnp.zeros((3,) + proc.config.inner_size, jnp.dtype(args.dtype))
-        )()
-        force_sync(warm)
-        res = proc.inner.process_box(
-            warm, z=0.0, Om=0.3175, as_numpy=False, donate_input=True
+        times = []
+        for r in range(args.runs):
+            out = None  # free the previous outputs — two full 512^3 output
+            # sets alive at once would crowd the 16 GB chip in vel mode
+            b = make_box(r + 1)
+            t0 = time.perf_counter()
+            out = proc.process_box(b, z=0.0, Om=0.3175, as_numpy=as_numpy, **kw)
+            force_sync(out)
+            times.append(time.perf_counter() - t0)
+            del b
+            if args.profile and use_hier:
+                print({k: round(v, 3) for k, v in proc.last_timings.items()},
+                      file=sys.stderr)
+        return times
+
+    # ---- OOM-resilient measurement --------------------------------------
+    times, fallback_trail, proc = run_with_fallback(
+        measure, proc, chunked, model, params, compute_vel
+    )
+    if times is None:
+        print(json.dumps({
+            "metric": f"voxels_per_sec_chip_{args.size}_"
+                      + ("dispvel" if compute_vel else "disp"),
+            "value": 0.0,
+            "unit": "voxel/s",
+            "vs_baseline": 0.0,
+            "error": "RESOURCE_EXHAUSTED on every fallback geometry",
+            "fallback": fallback_trail,
+        }), flush=True)
+        return
+    if fallback_trail:
+        from jax_nbody_emulator_with_dj_tpu.chunked import (
+            ChunkedHierarchicalConfig,
         )
-        for t in res if isinstance(res, tuple) else (res,):
-            force_sync(proc._crop(t, np.dtype(proc.config.output_dtype)))
-    else:
-        out = proc.process_box(make_box(0), z=0.0, Om=0.3175, as_numpy=as_numpy,
-                               **({"donate_input": True} if donate else {}))
-        force_sync(out)
 
-    times = []
-    for r in range(args.runs):
-        out = None  # free the previous outputs — two full 512^3 output
-        # sets alive at once would crowd the 16 GB chip in vel mode
-        b = make_box(r + 1)
-        t0 = time.perf_counter()
-        out = proc.process_box(b, z=0.0, Om=0.3175, as_numpy=as_numpy, **kw)
-        force_sync(out)
-        times.append(time.perf_counter() - t0)
-        del b
-        if args.profile and use_hier:
-            print({k: round(v, 3) for k, v in proc.last_timings.items()},
-                  file=sys.stderr)
+        chunked = isinstance(proc.config, ChunkedHierarchicalConfig)
+        chunks = list(proc.config.chunks) if chunked else None
 
     best = min(times)
     voxels = float(np.prod(size))
@@ -409,6 +582,9 @@ def main():
             else "subbox"
         ),
         "geometry": "auto" if args.runtime == "auto" else "manual",
+        "geometry_used": geometry_desc(proc.config),
+        "fallback": fallback_trail or None,
+        "commit": _git_sha(),
         "chunks": list(chunks) if chunked else None,
         "ndiv": None if use_hier else list(args.ndiv),
     }

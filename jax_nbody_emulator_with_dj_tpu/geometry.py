@@ -167,6 +167,97 @@ def _monolithic_config(size, dtype, compute_vel, output_dtype, in_chan,
     return cfg
 
 
+def fallback_ladder(cfg: HierarchicalConfig, compute_vel: bool = True,
+                    mid_chan: int = MID_CHAN):
+    """Yield progressively slimmer geometries to retry after an OOM.
+
+    ``RESOURCE_EXHAUSTED`` on a geometry that *estimates* as fitting is an
+    allocator-fragmentation event (measured round 4: the 512^3 bf16-vel
+    default audited under budget yet crashed the driver's one-shot run);
+    the recovery is a strictly smaller working set, not a recompile of the
+    same one.  Rungs:
+
+    1. ``"slim"``  — halve the phase-1 slab / H-split, the phase-2 level-1
+       tile, and cap the phase-3 tile: every per-phase transient drops
+       ~2x while the inter-phase buffers (fixed by ``size``) stay put.
+    2. ``"slim2"`` — halve those knobs again.
+    3. ``"chunked(cx,cy,cz)"`` — the chunked-hierarchical runtime: the box
+       is split into receptive-padded chunks, each an independent inner
+       run with its own (slim-rung) geometry; inter-phase buffers now
+       scale with the chunk, the one decomposition that always fits.
+
+    Every yielded config is estimate-checked smaller than its predecessor
+    (pinned in ``tests/test_fallback.py``).  Consumed by ``bench.py`` and
+    usable around any ``HierarchicalProcessor`` rebuild.
+    """
+    from .chunked import ChunkedHierarchicalConfig
+
+    size = cfg.size
+    cur = cfg
+
+    def down(v, floor):  # halve toward a floor, never grow
+        return max(v // 2, min(floor, v))
+
+    for rung in ("slim", "slim2"):
+        tile = (
+            _largest_divisor(size[0], down(cur.tile[0], 32), 2),
+            _largest_divisor(size[1], down(cur.tile[1], 32), 2),
+            _largest_divisor(size[2], down(cur.tile[2], 32), 4),
+        )
+        sh0 = cur.slab_h or size[1]
+        cur = HierarchicalConfig(
+            size=size,
+            slab=_largest_divisor(size[0], down(cur.slab, 16), 2),
+            slab_h=_largest_divisor(size[1], down(sh0, 16), 2),
+            tile=tile,
+            tile1=_tile1_for(size, down(cur.tile1, 8)),
+            dtype=cfg.dtype,
+            output_dtype=cfg.output_dtype,
+            in_chan=cfg.in_chan,
+            packed=cfg.packed,
+            wino=cfg.wino,
+            buf_dtype=cfg.buf_dtype,
+        )
+        yield rung, cur
+    for chunks in ((2, 1, 1), (2, 2, 1), (2, 2, 2)):
+        align = 16 if cfg.packed else 8
+        if not all(
+            s % c == 0 and (s // c) % align == 0 and s // c >= 64
+            for s, c in zip(size, chunks)
+        ):
+            continue
+        yield f"chunked{chunks}", ChunkedHierarchicalConfig(
+            size=size,
+            chunks=chunks,
+            pad=48,
+            dtype=cfg.dtype,
+            output_dtype=cfg.output_dtype,
+            in_chan=cfg.in_chan,
+            packed=cfg.packed,
+            buf_dtype=cfg.buf_dtype,
+        )
+
+
+def is_oom_error(e: BaseException) -> bool:
+    """True for XLA device out-of-memory failures (any backend).
+
+    Matched textually: the tunneled-PJRT path raises
+    ``jax.errors.JaxRuntimeError`` whose message carries the
+    ``RESOURCE_EXHAUSTED`` status; other backends spell it
+    ``Out of memory`` / ``Allocator ... OOM``.
+    """
+    s = f"{type(e).__name__}: {e}"
+    return any(
+        m in s
+        for m in (
+            "RESOURCE_EXHAUSTED",
+            "Out of memory",
+            "out of memory",
+            "OOM when allocating",
+        )
+    )
+
+
 def auto_hierarchical_config(
     size,
     dtype=jnp.bfloat16,

@@ -132,7 +132,7 @@ class HierarchicalConfig:
     y0_slab_h: int | None = None  # H-segment height of the y0 strip fill
     # (bounds the entry conv's im2col transient — at (td+16) x (sh+16) x 528
     # the vel entry stack peaks at ~(sh/64) x 2 GiB); default
-    # min(64, tile H + 8).  Segments are exact partitions (no overlap).
+    # min(68, tile H + 8).  Segments are exact partitions (no overlap).
     buf_dtype: jnp.dtype | None = None  # inter-phase level-buffer storage
     # (default: same as ``dtype``).  For float32 compute on TPU, set
     # bfloat16: every buffer consumer is a conv whose operands XLA rounds
@@ -1050,6 +1050,80 @@ class HierarchicalProcessor:
     # ------------------------------------------------------------------
     # Driver
     # ------------------------------------------------------------------
+
+    def memory_audit(self, z: float = 0.0, Om: float = 0.3175):
+        """AOT-compile every phase program and report its HBM peak.
+
+        Returns ``{"phases": {name: {"peak", "args", "out", "temps",
+        "extra_live", "total"}}, "max_total": int, "max_phase": str}``
+        (bytes).  ``peak`` is XLA's buffer-assignment peak for the phase
+        program (arguments + outputs + temporaries); ``extra_live`` adds
+        process-level buffers alive during that phase but NOT program
+        arguments — the padded input box through phases 2a-2c.
+        ``max_total`` is therefore the device-memory high-water mark of a
+        ``process_box(donate_input=True)`` call, the number to hold
+        against the chip's HBM (leave >= 5% headroom: a geometry that
+        audits at the edge can still RESOURCE_EXHAUST on allocator
+        fragmentation — measured round 4 at 512^3 f32 vel).
+
+        No device allocation happens; lowering + compilation hit the
+        persistent compile cache when this geometry has already run.
+        """
+        cfg = self.config
+        as_sds = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t
+        )
+        ep = as_sds(self._exec_params_for(z, Om))
+        box = jax.ShapeDtypeStruct((cfg.in_chan,) + cfg.size, jnp.dtype(cfg.dtype))
+        Dz = jax.ShapeDtypeStruct((1,), jnp.float32)
+        vel_fac = Dz
+        boxp = jax.eval_shape(self._scale, box, Dz)
+        nbuf = 2 if self.compute_vel else 1
+
+        def bufs(margin, level=1):
+            s = self._buf_shape(margin, level)
+            return tuple(
+                jax.ShapeDtypeStruct(s, jnp.dtype(cfg.buf_dtype))
+                for _ in range(nbuf)
+            )
+
+        h1 = bufs(self._h1_margin())
+        y1 = bufs(self._y1_margin())
+        y2 = bufs(self._y2_margin(), level=2)
+        r1 = bufs(self._r1_margin())
+        out_dtype = jnp.dtype(np.dtype(cfg.output_dtype))
+        outs = tuple(
+            jax.ShapeDtypeStruct((1, cfg.in_chan) + cfg.size, out_dtype)
+            for _ in range(nbuf)
+        )
+        boxp_bytes = int(np.prod(boxp.shape)) * boxp.dtype.itemsize
+
+        plan = {
+            "scale": ((self._scale, (box, Dz)), 0),
+            "phase1": ((self._phase1, (ep, boxp, h1)), 0),
+            "phase2a": ((self._phase2a, (ep, h1, y1)), boxp_bytes),
+            "phase2b": ((self._phase2b, (ep, y1, y2)), boxp_bytes),
+            "phase2c": ((self._phase2c, (ep, y1, y2, r1)), boxp_bytes),
+            "phase3": ((self._phase3, (ep, boxp, r1, outs, Dz, vel_fac)), 0),
+        }
+        report = {}
+        for name, ((fn, args), extra) in plan.items():
+            ma = fn.lower(*args).compile().memory_analysis()
+            peak = int(ma.peak_memory_in_bytes)
+            report[name] = {
+                "peak": peak,
+                "args": int(ma.argument_size_in_bytes),
+                "out": int(ma.output_size_in_bytes),
+                "temps": int(ma.temp_size_in_bytes),
+                "extra_live": extra,
+                "total": peak + extra,
+            }
+        max_phase = max(report, key=lambda k: report[k]["total"])
+        return {
+            "phases": report,
+            "max_total": report[max_phase]["total"],
+            "max_phase": max_phase,
+        }
 
     def process_box(
         self,

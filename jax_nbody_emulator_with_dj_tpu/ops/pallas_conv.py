@@ -247,7 +247,7 @@ def conv3d_pallas_packed(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x windows DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # x windows DMA'd manually
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed bias
         ],

@@ -270,7 +270,7 @@ def conv3_packed_stripe(
     call = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in
         + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -163,15 +163,22 @@ def _wino_kernel(
             # only in dropped halo columns (rw = RW-1 >= BWP).
             zn = jnp.concatenate([zf[1:], zf[:1]], axis=0)
             zw = jnp.concatenate([zf, zn], axis=1)
-            # precision pinned: the kernel's contract is bf16 operands
-            # with f32 accumulation; a global
-            # jax_default_matmul_precision=highest would otherwise ask
-            # Mosaic for an fp32-precision bf16 matmul it cannot lower.
+            # precision pinned by operand dtype: for bf16 operands the
+            # kernel's contract is bf16 dots with f32 accumulation — a
+            # global jax_default_matmul_precision=highest would otherwise
+            # ask Mosaic for an fp32-precision bf16 matmul it cannot
+            # lower.  f32 operands (interpret-mode tests) must instead
+            # pin HIGHEST: DEFAULT would let the backend run the f32
+            # dot at bf16 precision, failing the f32-reference checks.
             s_uv.append(
                 jnp.dot(
                     zw, w_ref[u, v],
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT,
+                    precision=(
+                        jax.lax.Precision.HIGHEST
+                        if zw.dtype == jnp.float32
+                        else jax.lax.Precision.DEFAULT
+                    ),
                 )
             )
         tu0 = (s_uv[0] + s_uv[1]) + s_uv[2]    # AT row 0 over v
@@ -304,7 +311,7 @@ def conv3d_wino_pallas_packed(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x windows DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),   # x windows DMA'd manually
             pl.BlockSpec(memory_space=pltpu.VMEM),  # transformed weights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed bias
         ],
