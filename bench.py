@@ -220,6 +220,12 @@ def main():
                         "chunk transfers")
     p.add_argument("--profile", action="store_true",
                    help="sync between hierarchical phases and print per-phase times")
+    p.add_argument("--audit", action="store_true",
+                   help="AOT memory-audit the phase programs "
+                        "(HierarchicalProcessor.memory_audit) before running; "
+                        "prints per-phase HBM peaks to stderr and records "
+                        "hbm_peak_bytes / hbm_headroom_frac (vs the v5e's "
+                        "15.75 GiB usable)")
     p.add_argument("--donate-input", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="regenerate the input box on device before each run and "
@@ -533,6 +539,16 @@ def main():
                       file=sys.stderr)
         return times
 
+    audit = None
+    if args.audit and hasattr(proc, "memory_audit"):
+        audit = proc.memory_audit()
+        for name, ph in audit["phases"].items():
+            print(f"# audit {name}: peak {ph['peak'] / 2**30:.2f} GiB "
+                  f"(+{ph['extra_live'] / 2**30:.2f} live) = "
+                  f"{ph['total'] / 2**30:.2f} GiB", file=sys.stderr)
+        print(f"# audit max: {audit['max_phase']} "
+              f"{audit['max_total'] / 2**30:.2f} GiB", file=sys.stderr)
+
     # ---- OOM-resilient measurement --------------------------------------
     times, fallback_trail, proc = run_with_fallback(
         measure, proc, chunked, model, params, compute_vel
@@ -588,6 +604,12 @@ def main():
         "chunks": list(chunks) if chunked else None,
         "ndiv": None if use_hier else list(args.ndiv),
     }
+    if audit is not None:
+        # Usable HBM on a 16 GB v5e is ~15.75 GiB (PJRT reserves the rest).
+        usable = 15.75 * 2**30
+        record["hbm_peak_bytes"] = audit["max_total"]
+        record["hbm_peak_phase"] = audit["max_phase"]
+        record["hbm_headroom_frac"] = round(1.0 - audit["max_total"] / usable, 4)
     if args.profile and use_hier and getattr(proc, "last_timings", None):
         # device-side phase split of the last run; in --host-input mode the
         # wall-vs-phase-sum gap is the host<->device transfer time

@@ -427,14 +427,23 @@ def _wino_conv(xp, wh, bias=None, leaky=False):
     from ..ops.winograd_pallas import conv3d_wino_pallas_packed
 
     out_dtype = None
+    cast_back = None
     if xp.dtype == jnp.float32:
         # Match XLA's f32-conv-on-TPU semantics: bf16 operands (the
         # default matmul precision rounding), f32 accumulation + output.
         out_dtype = jnp.float32
         xp = xp.astype(jnp.bfloat16)
-    return conv3d_wino_pallas_packed(
+    elif xp.dtype != jnp.bfloat16:
+        # f16 (or other) inputs: Mosaic has no mixed f16xbf16 dot
+        # lowering, and the kernel's operand contract is bf16 — cast in,
+        # run the kernel at its native bf16-out, cast back outside (an
+        # in-kernel f16 store is an untested Mosaic path).
+        cast_back = xp.dtype
+        xp = xp.astype(jnp.bfloat16)
+    y = conv3d_wino_pallas_packed(
         xp, wh.astype(jnp.bfloat16), bias, leaky=leaky, out_dtype=out_dtype
     )
+    return y.astype(cast_back) if cast_back is not None else y
 
 
 def _apply_packed(pp, xp, kind, act: bool = False):

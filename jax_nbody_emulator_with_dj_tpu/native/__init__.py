@@ -55,7 +55,7 @@ def _compile_and_load(name: str, extra_flags: tuple[str, ...] = ()):
             try:
                 subprocess.run(
                     ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                     *extra_flags, str(src_path), "-o", str(tmp)],
+                     "-pthread", *extra_flags, str(src_path), "-o", str(tmp)],
                     check=True, capture_output=True, timeout=300,
                 )
                 os.replace(tmp, so)
@@ -99,6 +99,7 @@ def _load_library():
             ctypes.c_double,
             ctypes.c_double,
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
         ]
 
     return _get_lib("fof", configure)
@@ -108,14 +109,24 @@ def native_fof_available() -> bool:
     return _load_library() is not None
 
 
-def fof_labels(positions: np.ndarray, boxsize: float, linking_length: float):
+def fof_labels(positions: np.ndarray, boxsize: float, linking_length: float,
+               n_threads: int | None = None):
     """Union-find root label per particle, or None if the kernel is
     unavailable.  Roots are the minimum particle index of each component —
     the same representative the numpy engine produces, so results are
-    array-identical."""
+    array-identical (and deterministic at ANY thread count: the lock-free
+    union-find hooks larger roots under smaller, so the final labels are a
+    pure function of the pair set — see fof.cpp).
+
+    ``n_threads``: workers for the pair-linking loop.  Default: the
+    ``JAX_NBODY_FOF_THREADS`` env var, else all cores (the reference
+    scales its nbodykit FoF by MPI ranks; one pod host gets the same
+    effect from cores)."""
     lib = _load_library()
     if lib is None:
         return None
+    if n_threads is None:
+        n_threads = int(os.environ.get("JAX_NBODY_FOF_THREADS", "0"))
     pos = np.ascontiguousarray(positions, np.float32)
     n_p = len(pos)
     labels = np.empty(n_p, np.int64)
@@ -125,6 +136,7 @@ def fof_labels(positions: np.ndarray, boxsize: float, linking_length: float):
         ctypes.c_double(float(boxsize)),
         ctypes.c_double(float(linking_length)),
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int(int(n_threads)),
     )
     if rc != 0:
         raise ValueError(f"native fof_labels failed with code {rc}")

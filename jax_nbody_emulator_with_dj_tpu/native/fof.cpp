@@ -13,35 +13,63 @@
 // linking lengths while only <= Np are occupied, so a dense CSR array
 // would dominate both memory and time.
 //
+// Threading (round 5): the pair-linking loop partitions the occupied
+// cells across `n_threads` workers over a LOCK-FREE union-find — CAS
+// root hooks + CAS path halving (Jayanti-Tarjan concurrent DSU).  Hooks
+// always attach the larger root under the smaller (parent values are
+// monotone decreasing, so no cycles under any interleaving), which also
+// makes the FINAL labels deterministic: each component's representative
+// is its minimum particle index regardless of thread schedule — the
+// same representative the numpy engine produces, so multi-threaded
+// results stay array-identical to single-threaded and to Python.
+// (The reference scales its FoF by MPI ranks, scripts/halos.py:352-465
+// there; one pod host gets the same effect from cores.)
+//
 // Contract: positions in [0, L), absolute linking length b.  Output
 // labels[i] = union-find root of particle i; roots are the minimum
-// particle index of each component (same representative as the numpy
-// engine, so results are array-identical).  Returns 0 on success.
+// particle index of each component.  n_threads <= 1 runs the exact
+// single-threaded path.  Returns 0 on success.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cmath>
+#include <memory>
+#include <thread>
 #include <vector>
 
 namespace {
 
 struct UnionFind {
-  std::vector<int64_t> parent;
-  explicit UnionFind(int64_t n) : parent(n) {
-    for (int64_t i = 0; i < n; ++i) parent[i] = i;
+  std::unique_ptr<std::atomic<int64_t>[]> parent;
+  explicit UnionFind(int64_t n) : parent(new std::atomic<int64_t>[n]) {
+    for (int64_t i = 0; i < n; ++i)
+      parent[i].store(i, std::memory_order_relaxed);
   }
   int64_t find(int64_t x) {
-    while (parent[x] != x) {
-      parent[x] = parent[parent[x]];  // path halving
-      x = parent[x];
+    while (true) {
+      int64_t p = parent[x].load(std::memory_order_relaxed);
+      if (p == x) return x;
+      int64_t gp = parent[p].load(std::memory_order_relaxed);
+      if (gp == p) return p;
+      // CAS path halving: safe under concurrency because parent values
+      // only ever decrease (hooks go larger -> smaller root).
+      parent[x].compare_exchange_weak(p, gp, std::memory_order_relaxed);
+      x = gp;
     }
-    return x;
   }
   void unite(int64_t a, int64_t b) {
-    a = find(a);
-    b = find(b);
-    if (a == b) return;
-    if (a < b) parent[b] = a; else parent[a] = b;
+    while (true) {
+      a = find(a);
+      b = find(b);
+      if (a == b) return;
+      if (a > b) std::swap(a, b);  // hook the larger root under the smaller
+      int64_t expected = b;
+      if (parent[b].compare_exchange_weak(expected, a,
+                                          std::memory_order_relaxed))
+        return;
+      // b's root changed underneath us — retry from the new roots.
+    }
   }
 };
 
@@ -62,7 +90,7 @@ inline double min_image(double d, double L) {
 }  // namespace
 
 extern "C" int fof_labels(const float* pos, int64_t np_, double L, double b,
-                          int64_t* labels_out) {
+                          int64_t* labels_out, int n_threads) {
   if (np_ <= 0 || L <= 0 || b <= 0 || b != b) return 1;
   // Cell width >= b so linked pairs span at most one cell per axis.
   int64_t ncell = static_cast<int64_t>(std::floor(L / b));
@@ -151,32 +179,64 @@ extern "C" int fof_labels(const float* pos, int64_t np_, double L, double b,
   };
 
   const int64_t ncell2 = ncell * ncell;
-  for (int64_t u = 0; u < nocc; ++u) {
-    const int64_t c = uniq[u];
-    const int64_t cx = c / ncell2, cy = (c / ncell) % ncell, cz = c % ncell;
-    for (const auto& off : OFFSETS) {
-      const bool self = off[0] == 0 && off[1] == 0 && off[2] == 0;
-      if (self) {
-        link_ranges(start[u], start[u + 1], start[u], start[u + 1], true,
-                    ncell <= 2);
-        continue;
+  auto link_cells = [&](int64_t u_begin, int64_t u_end) {
+    for (int64_t u = u_begin; u < u_end; ++u) {
+      const int64_t c = uniq[u];
+      const int64_t cx = c / ncell2, cy = (c / ncell) % ncell, cz = c % ncell;
+      for (const auto& off : OFFSETS) {
+        const bool self = off[0] == 0 && off[1] == 0 && off[2] == 0;
+        if (self) {
+          link_ranges(start[u], start[u + 1], start[u], start[u + 1], true,
+                      ncell <= 2);
+          continue;
+        }
+        const int64_t ux = cx + off[0], uy = cy + off[1], uz = cz + off[2];
+        const bool wrapped = ux < 0 || ux >= ncell || uy < 0 || uy >= ncell ||
+                             uz < 0 || uz >= ncell;
+        const int64_t px = (ux + ncell) % ncell;
+        const int64_t py = (uy + ncell) % ncell;
+        const int64_t pz = (uz + ncell) % ncell;
+        const int64_t p = (px * ncell + py) * ncell + pz;
+        if (p == c) continue;  // tiny grid: offset wraps onto this cell
+        const auto it = std::lower_bound(uniq.begin(), uniq.end(), p);
+        if (it == uniq.end() || *it != p) continue;  // neighbor unoccupied
+        const int64_t v = it - uniq.begin();
+        link_ranges(start[u], start[u + 1], start[v], start[v + 1], false,
+                    wrapped || ncell <= 2);
       }
-      const int64_t ux = cx + off[0], uy = cy + off[1], uz = cz + off[2];
-      const bool wrapped = ux < 0 || ux >= ncell || uy < 0 || uy >= ncell ||
-                           uz < 0 || uz >= ncell;
-      const int64_t px = (ux + ncell) % ncell;
-      const int64_t py = (uy + ncell) % ncell;
-      const int64_t pz = (uz + ncell) % ncell;
-      const int64_t p = (px * ncell + py) * ncell + pz;
-      if (p == c) continue;  // tiny grid: offset wraps onto this cell
-      const auto it = std::lower_bound(uniq.begin(), uniq.end(), p);
-      if (it == uniq.end() || *it != p) continue;  // neighbor unoccupied
-      const int64_t v = it - uniq.begin();
-      link_ranges(start[u], start[u + 1], start[v], start[v + 1], false,
-                  wrapped || ncell <= 2);
     }
+  };
+
+  int nt = n_threads;
+  if (nt <= 0) nt = static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (static_cast<int64_t>(nt) > nocc) nt = static_cast<int>(std::max<int64_t>(nocc, 1));
+  if (nt <= 1) {
+    link_cells(0, nocc);
+  } else {
+    // Interleaved round-robin strides would thrash the neighbor binary
+    // searches; contiguous cell ranges keep each worker's pair loops on
+    // one streaming region.  Dense cores cluster in cell order, so use
+    // MORE chunks than threads with dynamic claiming to balance them.
+    std::atomic<int64_t> next_chunk{0};
+    const int64_t n_chunks = std::min<int64_t>(nocc, int64_t(nt) * 16);
+    const int64_t chunk = (nocc + n_chunks - 1) / n_chunks;
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int t = 0; t < nt; ++t) {
+      pool.emplace_back([&]() {
+        while (true) {
+          const int64_t k = next_chunk.fetch_add(1, std::memory_order_relaxed);
+          const int64_t u0 = k * chunk;
+          if (u0 >= nocc) return;
+          link_cells(u0, std::min(u0 + chunk, nocc));
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
   }
 
+  // Final full compression (single-threaded): labels are component minima.
   for (int64_t i = 0; i < np_; ++i) labels_out[i] = uf.find(i);
   return 0;
 }

@@ -88,8 +88,26 @@ def main():
                 )
             origin = tuple(int(g) for g in m.groups())
             piece = np.load(f, mmap_mode="r")
-            n_part = max(n_part, origin[0] + piece.shape[1])
+            n_part = max(
+                n_part, *(o + s for o, s in zip(origin, piece.shape[1:]))
+            )
             shards.append((piece, origin))
+        # A partially fetched pod output (a missing shard file) would
+        # otherwise silently drop its particles from the catalog: the
+        # pieces must tile the full N^3 grid exactly — total volume
+        # matches and no two origins coincide.
+        total = sum(int(np.prod(p.shape[1:])) for p, _ in shards)
+        if total != n_part**3:
+            raise SystemExit(
+                f"shard pieces cover {total:,} particles but the inferred "
+                f"grid is {n_part}^3 = {n_part**3:,} — missing or "
+                f"overlapping shard files in {args.displacement!r}"
+            )
+        origins = [o for _, o in shards]
+        if len(set(origins)) != len(origins):
+            raise SystemExit(
+                f"duplicate shard origins in {args.displacement!r}"
+            )
         b_abs = args.linking_length * args.boxsize / n_part
         n_slabs = max(args.n_slabs, 1)
         print(f"sharded FoF over {len(shards)} pieces (N={n_part}), "

@@ -385,6 +385,33 @@ class TestNativeEngine:
                 np.zeros((4, 3), np.float32), 1.0, 0.1, engine="gpu"
             )
 
+    @pytest.mark.parametrize("n_threads", [2, 4, 7])
+    def test_multithreaded_identical(self, n_threads):
+        """Thread count must not change a single label: the lock-free
+        union-find hooks larger roots under smaller, so final labels are
+        a pure function of the pair set (fof.cpp round 5) — asserted
+        against both the single-threaded kernel and the numpy engine,
+        including clustered (dense-cell) and wrap geometries."""
+        from jax_nbody_emulator_with_dj_tpu.native import fof_labels
+
+        rng = np.random.default_rng(11)
+        box = 40.0
+        # uniform + a dense clump (exercises intra-cell self pairs) + a
+        # wrap-straddling clump
+        pos = np.concatenate([
+            rng.uniform(0, box, size=(5000, 3)),
+            rng.normal(25.0, 0.3, size=(1500, 3)),
+            rng.normal(0.0, 0.3, size=(800, 3)) % box,
+        ]).astype(np.float32)
+        np.clip(pos, 0, np.nextafter(box, 0, dtype=np.float32), out=pos)
+        for b in (0.5, 1.2):
+            l1 = fof_labels(pos, box, b, n_threads=1)
+            lt = fof_labels(pos, box, b, n_threads=n_threads)
+            np.testing.assert_array_equal(l1, lt)
+            a = friends_of_friends(pos, box, b, nmin=2, engine="numpy")
+            c = friends_of_friends(pos, box, b, nmin=2, engine="native")
+            np.testing.assert_array_equal(a["labels"], c["labels"])
+
 
 class TestReviewRegressions:
     """Regressions for the round-3 review findings (engine fp parity,

@@ -269,3 +269,67 @@ class TestBufDtype:
         assert jnp.dtype(cfg.buf_dtype) == jnp.float32
         cfg = HierarchicalConfig(size=(N,) * 3, slab=8, tile=(8, 8, 8))
         assert jnp.dtype(cfg.buf_dtype) == jnp.bfloat16
+
+
+class TestY0CacheEquivalence:
+    """The cached phase-3 decode (``y0_cache=True``) must match the
+    monolithic decode — a user enabling the documented option gets the
+    same science (ADVICE r4: the ~250-line strip/coordinate path had no
+    equivalence pin).  f32 compute, wino off (CPU): identical math up to
+    XLA re-fusion order."""
+
+    @pytest.mark.parametrize("packed", [True, False])
+    def test_disp(self, style_params, box, packed):
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=MID)
+        outs = []
+        for y0_cache in (False, True):
+            cfg = HierarchicalConfig(
+                size=(N,) * 3, slab=8, tile=(8, 8, 8), packed=packed,
+                dtype=jnp.float32, output_dtype=np.float32,
+                y0_cache=y0_cache, wino=False,
+            )
+            outs.append(
+                HierarchicalProcessor(model, params, cfg).process_box(
+                    box, 0.5, 0.3175
+                )
+            )
+        np.testing.assert_allclose(outs[1], outs[0], rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("packed", [True, False])
+    def test_vel(self, style_params, box, packed):
+        params = modulate_emulator_parameters_vel(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorVelCore(mid_chan=MID)
+        outs = []
+        for y0_cache in (False, True):
+            cfg = HierarchicalConfig(
+                size=(N,) * 3, slab=8, tile=(8, 8, 8), packed=packed,
+                dtype=jnp.float32, output_dtype=np.float32,
+                y0_cache=y0_cache, wino=False,
+            )
+            outs.append(
+                HierarchicalProcessor(model, params, cfg).process_box(
+                    box, 0.5, 0.3175
+                )
+            )
+        np.testing.assert_allclose(outs[1][0], outs[0][0], rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(outs[1][1], outs[0][1], rtol=2e-5, atol=2e-5)
+
+    def test_y0_slab_h_segments(self, style_params, box):
+        """Non-default y0_slab_h (segmented strip fill) changes nothing."""
+        params = modulate_emulator_parameters(style_params, 0.5, 0.3175)
+        model = NBodyEmulatorCore(mid_chan=MID)
+        outs = []
+        for sh in (None, 8, 4):
+            cfg = HierarchicalConfig(
+                size=(N,) * 3, slab=8, tile=(8, 8, 8),
+                dtype=jnp.float32, output_dtype=np.float32,
+                y0_cache=True, y0_slab_h=sh, wino=False,
+            )
+            outs.append(
+                HierarchicalProcessor(model, params, cfg).process_box(
+                    box, 0.5, 0.3175
+                )
+            )
+        np.testing.assert_allclose(outs[1], outs[0], rtol=1e-6)
+        np.testing.assert_allclose(outs[2], outs[0], rtol=1e-6)
