@@ -481,23 +481,77 @@ def _cat_weight_parts(w, kind, n):
     return [w[..., i * rows : (i + 1) * rows, :] for i in range(n)]
 
 
-def _apply_packed_vel(pp, xp, dxp, kind):
+# Packed-W output width (owp) above which the factored-tangent pair runs
+# as two single-kernel launches instead of the fused pair kernel: the
+# pair's doubled VMEM working set forces W-split blocks at wide shapes
+# (measured round 5: pair 86 vs singles 67 TF/s at owp=71 — the phase-3
+# tile scale — but 105 vs 108 at owp=131, where the single kernel still
+# covers W in one block).
+_PAIR_W_MAX = 96
+
+
+def _wino_conv_pair(xp, sp, wh, bias, cvec, act):
+    """Fused factored-tangent pair: y = conv(xp, W) + b,
+    dy = conv(sp, W) - c (.) conv(xp, W), LeakyReLU *pair* when ``act``.
+
+    Narrow (launch-overhead-bound) shapes run the Pallas pair kernel —
+    ONE launch with row-stacked (2M, 2C) dots; wide shapes keep two
+    single-kernel launches + the XLA epilogue (see ``_PAIR_W_MAX``)."""
+    if xp.shape[3] - 1 > _PAIR_W_MAX:
+        z = _wino_conv(xp, wh)
+        zt = _wino_conv(sp, wh)
+        y = z if bias is None else z + bias.astype(z.dtype)
+        dy = zt if cvec is None else zt - cvec.astype(z.dtype) * z
+        if act:
+            y, dy = leaky_relu_with_tangent(y, dy)
+        return y, dy
+
+    from ..ops.winograd_pallas import conv3d_wino_pallas_pair_packed
+
+    out_dtype = None
+    cast_back = None
+    if xp.dtype == jnp.float32:
+        out_dtype = jnp.float32
+        xp, sp = xp.astype(jnp.bfloat16), sp.astype(jnp.bfloat16)
+    elif xp.dtype != jnp.bfloat16:
+        cast_back = xp.dtype
+        xp, sp = xp.astype(jnp.bfloat16), sp.astype(jnp.bfloat16)
+    y, dy = conv3d_wino_pallas_pair_packed(
+        xp, sp, wh.astype(jnp.bfloat16), bias, cvec,
+        leaky=act, out_dtype=out_dtype,
+    )
+    if cast_back is not None:
+        y, dy = y.astype(cast_back), dy.astype(cast_back)
+    return y, dy
+
+
+def _apply_packed_vel(pp, xp, dxp, kind, act: bool = False):
+    """One packed vel conv layer; ``act=True`` fuses the LeakyReLU pair
+    that follows it (in-kernel on the Winograd pair path, inline
+    elementwise — which XLA fuses anyway — elsewhere)."""
     op = _PACKED_OPS[kind]
     out_dtype = xp.dtype
     wino = "wh" in pp and _wino_on()
+
+    def fin(y, dy):
+        if act:
+            y, dy = leaky_relu_with_tangent(y, dy)
+        return y.astype(out_dtype), dy.astype(out_dtype)
+
     if "g" in pp:
         # Factored tangent (style-derived dweight): ONE tangent conv sharing
         # the primal kernel — dy = op(x⊙g + dx, W) − c⊙op(x, W).
         g = jnp.tile(pp["g"], 2).astype(xp.dtype)  # packed rows [q0|q1]
         if wino:
-            z = _wino_conv(xp, pp["wh"])
-            zt = _wino_conv(xp * g + dxp, pp["wh"])
-        else:
-            z = op(xp, pp["w"])
-            zt = op(xp * g + dxp, pp["w"])
+            y, dy = _wino_conv_pair(
+                xp, xp * g + dxp, pp["wh"], pp["b"], pp["c"], act
+            )
+            return y.astype(out_dtype), dy.astype(out_dtype)
+        z = op(xp, pp["w"])
+        zt = op(xp * g + dxp, pp["w"])
         y = z + pp["b"].astype(xp.dtype)
         dy = zt - pp["c"].astype(z.dtype) * z
-        return y.astype(out_dtype), dy.astype(out_dtype)
+        return fin(y, dy)
     if "wst" in pp:
         # Narrow-output layers run the primal and x-tangent convs as one
         # Cols-stacked conv (see ``pack_conv_layer_params``).
@@ -506,7 +560,7 @@ def _apply_packed_vel(pp, xp, dxp, kind):
         z = op(xp, pp["wst"])
         y = z[..., :c] + pp["b"].astype(xp.dtype)
         dy = z[..., c:] + op(dxp, ww)
-        return y.astype(out_dtype), dy.astype(out_dtype)
+        return fin(y, dy)
     # Tangent conv as a split-parts sum: dy = conv(x, dW) + conv(dx, W).
     # Mathematically identical to conv(cat(x, dx), wcat) but skips the
     # 256-channel concat materialization — measured 1.41x faster on a v5e
@@ -515,11 +569,11 @@ def _apply_packed_vel(pp, xp, dxp, kind):
         whdw, whw = _cat_weight_parts(pp["whcat"], kind, 2)
         y = _wino_conv(xp, pp["wh"], pp["b"])
         dy = _wino_conv(xp, whdw) + _wino_conv(dxp, whw)
-        return y.astype(out_dtype), dy.astype(out_dtype)
+        return fin(y, dy)
     wdw, ww = _cat_weight_parts(pp["wcat"], kind, 2)
     y = op(xp, pp["w"]) + pp["b"].astype(xp.dtype)
     dy = op(xp, wdw) + op(dxp, ww)
-    return y.astype(out_dtype), dy.astype(out_dtype)
+    return fin(y, dy)
 
 
 def _apply_packed_cat(pp, xs, kind, act: bool = False):
@@ -549,27 +603,40 @@ def _apply_packed_cat(pp, xs, kind, act: bool = False):
     return z.astype(out_dtype)
 
 
-def _apply_packed_vel_cat(pp, xs, dxs, kind):
+def _apply_packed_vel_cat(pp, xs, dxs, kind, act: bool = False):
     """Vel form of ``_apply_packed_cat``: per input part either one factored
     tangent conv (style-derived dweight, primal kernel shared) or the
-    split-parts tangent pair (materialized ``dW``; wcat has 2x the groups)."""
+    split-parts tangent pair (materialized ``dW``; wcat has 2x the groups).
+    ``act=True`` appends the LeakyReLU pair (elementwise; XLA fuses it
+    into the epilogue)."""
     op = _PACKED_OPS[kind]
     out_dtype = xs[0].dtype
     wino = "wh" in pp and _wino_on()
+
+    def fin(y, dy):
+        if act:
+            y, dy = leaky_relu_with_tangent(y, dy)
+        return y.astype(out_dtype), dy.astype(out_dtype)
+
     if "g" in pp:
         parts_w = _cat_weight_parts(pp["wh" if wino else "w"], kind, len(xs))
-        conv = _wino_conv if wino else op
         cg = pp["g"].shape[0] // len(xs)
         z = zt = None
         for i, (x, dx, wi) in enumerate(zip(xs, dxs, parts_w)):
             gi = jnp.tile(pp["g"][i * cg : (i + 1) * cg], 2).astype(x.dtype)
-            zi = conv(x, wi)
-            zti = conv(x * gi + dx, wi)
+            if wino:
+                # Raw pair per part (no bias/fold/act: the epilogue runs
+                # once on the part SUM below) — still one launch per part
+                # instead of two.
+                zi, zti = _wino_conv_pair(x, x * gi + dx, wi, None, None, False)
+            else:
+                zi = op(x, wi)
+                zti = op(x * gi + dx, wi)
             z = zi if z is None else z + zi
             zt = zti if zt is None else zt + zti
         y = z + pp["b"].astype(z.dtype)
         dy = zt - pp["c"].astype(z.dtype) * z
-        return y.astype(out_dtype), dy.astype(out_dtype)
+        return fin(y, dy)
     y = _apply_packed_cat(pp, xs, kind)
     parts = list(xs) + list(dxs)
     if wino:
@@ -577,12 +644,12 @@ def _apply_packed_vel_cat(pp, xs, dxs, kind):
         dy = _wino_conv(parts[0], parts_wh[0])
         for x, wi in zip(parts[1:], parts_wh[1:]):
             dy = dy + _wino_conv(x, wi)
-        return y, dy.astype(out_dtype)
+        return fin(y, dy.astype(out_dtype))
     parts_w = _cat_weight_parts(pp["wcat"], kind, len(parts))
     dy = op(parts[0], parts_w[0])
     for x, wi in zip(parts[1:], parts_w[1:]):
         dy = dy + op(x, wi)
-    return y, dy.astype(out_dtype)
+    return fin(y, dy.astype(out_dtype))
 
 
 def apply_resnet_block_packed_cat(pp, xs, seq):
@@ -623,15 +690,23 @@ def apply_resnet_block_vel_packed_cat(pp, xs, dxs, seq):
     dy = _crop_packed(dy, num_conv)
     xp = dxp = None
     conv_idx = 0
-    for op in main_seq:
-        if op == "C":
+    i = 0
+    while i < len(main_seq):
+        if main_seq[i] == "C":
+            fuse = i + 1 < len(main_seq) and main_seq[i + 1] == "A"
             if conv_idx == 0:
-                xp, dxp = _apply_packed_vel_cat(pp["conv_0"], xs, dxs, "conv")
+                xp, dxp = _apply_packed_vel_cat(
+                    pp["conv_0"], xs, dxs, "conv", act=fuse
+                )
             else:
-                xp, dxp = _apply_packed_vel(pp[f"conv_{conv_idx}"], xp, dxp, "conv")
+                xp, dxp = _apply_packed_vel(
+                    pp[f"conv_{conv_idx}"], xp, dxp, "conv", act=fuse
+                )
             conv_idx += 1
-        else:
+            i += 2 if fuse else 1
+        else:  # 'A'
             xp, dxp = leaky_relu_with_tangent(xp, dxp)
+            i += 1
     xp = xp + y
     dxp = dxp + dy
     if last_act:
@@ -679,12 +754,20 @@ def apply_resnet_block_vel_packed(pp, xp, dxp, seq):
     y = _crop_packed(y, num_conv)
     dy = _crop_packed(dy, num_conv)
     conv_idx = 0
-    for op in main_seq:
-        if op == "C":
-            xp, dxp = _apply_packed_vel(pp[f"conv_{conv_idx}"], xp, dxp, "conv")
+    i = 0
+    while i < len(main_seq):
+        if main_seq[i] == "C":
+            # Fuse a directly-following activation pair into the conv call
+            # (in-kernel on the Winograd pair path).
+            fuse = i + 1 < len(main_seq) and main_seq[i + 1] == "A"
+            xp, dxp = _apply_packed_vel(
+                pp[f"conv_{conv_idx}"], xp, dxp, "conv", act=fuse
+            )
             conv_idx += 1
-        else:
+            i += 2 if fuse else 1
+        else:  # 'A'
             xp, dxp = leaky_relu_with_tangent(xp, dxp)
+            i += 1
     xp = xp + y
     dxp = dxp + dy
     if last_act:

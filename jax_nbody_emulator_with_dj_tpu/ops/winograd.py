@@ -102,6 +102,20 @@ def transform_packed_w3(wp, m: int = 2):
     return out.astype(wp.dtype)
 
 
+def transform_packed_w3_mixed(wp, md: int = 2, mh: int = 4):
+    """Mixed-tile weight transform: F(md,3) along D x F(mh,3) along H.
+
+    Packed (3, 3, 2, 2Ci, 2Co) kernel -> (md+2, mh+2, 2, 2Ci, 2Co).
+    The F(2,3)xF(4,3) form trades 24 point-dots for 8 outputs per
+    (2, 4) tile — MAC ratio 3/9 = 0.333 vs 4/9 for F(2,3)^2 — while
+    keeping the cheap D parity-2 decomposition (see
+    ``ops/winograd43_pallas.py``).
+    """
+    w32 = jnp.asarray(wp, jnp.float32)
+    out = jnp.einsum("ak,bl,kltcf->abtcf", _G[md], _G[mh], w32)
+    return out.astype(wp.dtype)
+
+
 def _tile_gather(x, axis: int, m: int, n_tiles: int):
     """Stride-m windows of length m+2: stack slices x[k + m*i], k in 0..m+1.
 

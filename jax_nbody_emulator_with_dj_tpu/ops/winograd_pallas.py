@@ -357,3 +357,300 @@ def conv3d_wino_pallas(
         leaky=leaky, interpret=interpret, block=block,
     )
     return s2d.unpack(yp)
+
+
+# ---------------------------------------------------------------------------
+# Fused primal+factored-tangent pair kernel (round 5)
+# ---------------------------------------------------------------------------
+#
+# The flagship velocity layers run the factored tangent (style-derived
+# dweight; models/blocks.py::_apply_packed_vel "g" path):
+#
+#     z  = conv(x, W)            y  = z + b
+#     zt = conv(x*g + dx, W)     dy = zt - c (.) z
+#
+# i.e. TWO kernel launches per layer over the SAME weights.  Measured
+# round 5 (scripts/experiments/microbench_wino_blocks_narrow.py + block
+# scaling): at the narrow phase-3 tile shapes each launch is ~45-75%
+# per-block fixed overhead (DMA waits, transform setup, M=640 dot fills).
+# This kernel runs both convs in ONE launch: both windows are DMA'd
+# (double-buffered each), both transforms feed a SINGLE row-stacked
+# (2M, 2C) x (2C, Co) dot per Winograd point — doubling the dot M that
+# the fixed cost amortizes over — and the epilogue applies the bias,
+# the c-fold, and (optionally) the LeakyReLU *pair* (dy *= 1 or 0.01 by
+# y's sign) before writing both outputs.  HBM traffic is unchanged; the
+# launch count, DMA waits, and per-dot fill overhead halve.
+
+
+def _wino_pair_kernel(
+    x_hbm, s_hbm, w_ref, b_ref, c_ref, y_ref, dy_ref, xblk, sblk, sem,
+    *, leaky: bool, c2: int, co: int, blk,
+):
+    BD, BH, BWP = blk
+    NP, RH, RW = BD + 2, BH + 2, BWP + 8
+    TD, TH = BD // 2, BH // 2
+    MZ = TD * TH * RW
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    nj, nk = pl.num_programs(1), pl.num_programs(2)
+
+    step = (i * nj + j) * nk + k
+    slot = jax.lax.rem(step, 2)
+    nstep = step + 1
+    ni = nstep // (nj * nk)
+    njj = jax.lax.rem(nstep // nk, nj)
+    nkk = jax.lax.rem(nstep, nk)
+    last = ni >= pl.num_programs(0)
+    ni = jnp.where(last, 0, ni)
+
+    def win_dma(src, dst, bi, bj, bk, s, t):
+        return pltpu.make_async_copy(
+            src.at[
+                pl.ds(bi * BD, NP),
+                pl.ds(bj * BH, RH),
+                pl.ds(bk * BWP, RW),
+                slice(None),
+            ],
+            dst.at[s],
+            sem.at[t, s],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        win_dma(x_hbm, xblk, i, j, k, slot, 0).start()
+        win_dma(s_hbm, sblk, i, j, k, slot, 1).start()
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        win_dma(x_hbm, xblk, ni, njj, nkk, 1 - slot, 0).start()
+        win_dma(s_hbm, sblk, ni, njj, nkk, 1 - slot, 1).start()
+
+    win_dma(x_hbm, xblk, i, j, k, slot, 0).wait()
+    win_dma(s_hbm, sblk, i, j, k, slot, 1).wait()
+
+    def bt_d(X):
+        """F(2,3) BT along D via the parity-2 reshapes (pure adds)."""
+        Xr = X.reshape(NP // 2, 2, RH, RW, c2)
+        E, O = Xr[:, 0], Xr[:, 1]
+        E0, E1 = E[:TD], E[1:]
+        O0, O1 = O[:TD], O[1:]
+        return (E0 - E1, O0 + E1, E1 - O0, O0 - O1)
+
+    ax = bt_d(xblk[slot])
+    as_ = bt_d(sblk[slot])
+
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if ax[0].dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    accx = [None] * 4
+    accs = [None] * 4
+
+    def fold(acc, pq, t):
+        acc[pq] = t if acc[pq] is None else acc[pq] + t
+
+    def bt_h(au):
+        """F(2,3) BT along H + the wide-K two-tap row layout, per point."""
+        r = au.reshape(TD, RH // 2, 2, RW, c2)
+        Eh, Oh = r[:, :, 0], r[:, :, 1]
+        Eh0, Eh1 = Eh[:, :TH], Eh[:, 1:]
+        Oh0, Oh1 = Oh[:, :TH], Oh[:, 1:]
+        zs = (Eh0 - Eh1, Oh0 + Eh1, Eh1 - Oh0, Oh0 - Oh1)
+        out = []
+        for v in range(4):
+            zf = zs[v].reshape(MZ, c2)
+            zn = jnp.concatenate([zf[1:], zf[:1]], axis=0)
+            out.append(jnp.concatenate([zf, zn], axis=1))
+        return out
+
+    for u in range(4):
+        zx = bt_h(ax[u])
+        zs_ = bt_h(as_[u])
+        sx_uv, ss_uv = [], []
+        for v in range(4):
+            # Row-stacked pair dot: one (2M, 2C) x (2C, Co) dot serves
+            # both convs — double the rows per launch-fixed cost.
+            zcat = jnp.concatenate([zx[v], zs_[v]], axis=0)
+            s = jnp.dot(
+                zcat, w_ref[u, v],
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            sx_uv.append(s[:MZ])
+            ss_uv.append(s[MZ:])
+        for acc, s_uv in ((accx, sx_uv), (accs, ss_uv)):
+            tu0 = (s_uv[0] + s_uv[1]) + s_uv[2]
+            tu1 = (s_uv[1] - s_uv[2]) - s_uv[3]
+            cu0, cu1 = _AT_ROWS[0][u], _AT_ROWS[1][u]
+            if cu0:
+                fold(acc, 0, tu0 if cu0 == 1 else -tu0)
+                fold(acc, 1, tu1 if cu0 == 1 else -tu1)
+            if cu1:
+                fold(acc, 2, tu0 if cu1 == 1 else -tu0)
+                fold(acc, 3, tu1 if cu1 == 1 else -tu1)
+
+    bias = b_ref[:].astype(jnp.float32)
+    cvec = c_ref[:].astype(jnp.float32)
+
+    yt, dyt = [], []
+    for pq in range(4):
+        y = accx[pq] + bias
+        dy = accs[pq] - cvec * accx[pq]
+        if leaky:
+            dy = jnp.where(y > 0, dy, 0.01 * dy)
+            y = jnp.where(y > 0, y, 0.01 * y)
+        yt.append(y.astype(y_ref.dtype).reshape(TD, TH, RW, co))
+        dyt.append(dy.astype(dy_ref.dtype).reshape(TD, TH, RW, co))
+
+    for ts, ref in ((yt, y_ref), (dyt, dy_ref)):
+        yd = [jnp.stack([ts[0 + q], ts[2 + q]], axis=1) for q in range(2)]
+        Y = jnp.stack(yd, axis=3)
+        ref[...] = Y.reshape(BD, BH, RW, co)[:, :, :BWP, :]
+
+
+def _vmem_bytes_pair(bd, bh, bwp, c2, co, ob=2):
+    """Live-VMEM model of the pair kernel: two double-buffered window
+    sets, 8 f32 accumulators (y + dy), stacked-row dot temps, two
+    double-buffered output blocks, the shared wide-K weights."""
+    NP, RH, RW = bd + 2, bh + 2, bwp + 8
+    mz = (bd // 2) * (bh // 2) * RW
+    return (
+        4 * NP * RH * RW * c2 * 2       # 2 tensors x double-buffered windows
+        + 16 * mz * co * 4              # 8 f32 accumulators + u-temps
+        + 8 * mz * c2 * 2               # zx/zs/zcat transform temps
+        + 4 * bd * bh * bwp * co * ob   # 2 double-buffered output blocks
+        + 16 * 2 * c2 * co * 2          # wide-K transformed weights
+    )
+
+
+def _pick_block_pair(
+    od: int, oh: int, owp: int, c2: int = 128, co: int = 128, ob: int = 2
+):
+    """Block for the pair kernel (same policy as ``_pick_block``; the
+    doubled working set forces W splits at shapes the single kernel
+    covers in one block)."""
+    budget = 13 * 1024 * 1024
+    shapes = ((4, 8), (2, 16), (2, 8), (2, 4))
+    full = max(_ceil_to(owp, 8), 8)
+    for bd, bh in shapes:
+        if _vmem_bytes_pair(bd, bh, full, c2, co, ob) <= budget:
+            return bd, bh, full
+    best = None
+    for bwp in range(full - 8, 0, -8):
+        for bd, bh in shapes:
+            if _vmem_bytes_pair(bd, bh, bwp, c2, co, ob) <= budget:
+                waste = _ceil_to(owp, bwp) * (bwp + 8) // bwp
+                if best is None or waste < best[0]:
+                    best = (waste, bd, bh, bwp)
+                break
+    if best is None:
+        return 2, 4, 8
+    return best[1], best[2], best[3]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("leaky", "interpret", "block", "out_dtype")
+)
+def conv3d_wino_pallas_pair_packed(
+    xp, sp, what, bias_unpacked, c_packed, *, leaky: bool = False,
+    interpret: bool = False, block=None, out_dtype=None,
+):
+    """Fused factored-tangent pair conv (see the pair-kernel note above).
+
+    Computes, in one launch over shared weights::
+
+        y  = conv(xp, W) + b                      (+ LeakyReLU if leaky)
+        dy = conv(sp, W) - c (.) conv(xp, W)      (dy *= leaky'(y))
+
+    Args:
+        xp, sp: packed inputs (``ops.s2d.pack``), same shape; ``sp`` is
+            the tangent operand (x*g + dx in the factored-tangent layer).
+        what: transformed kernel — (4, 4, 2, 2Ci, 2Co).
+        bias_unpacked: (Co,) or packed (2Co,) fp32 bias.
+        c_packed: (2Co,) packed fp32 fold vector (or (Co,), tiled).
+    Returns (y, dy), each (B, D-2, H-2, WP-1, 2Co).
+    """
+    b, d, h, wp_dim, c2 = xp.shape
+    assert sp.shape == xp.shape and sp.dtype == xp.dtype
+    assert what.shape[:3] == (4, 4, 2) and what.shape[-2] == c2
+    co = what.shape[-1]
+    wk = jnp.concatenate([what[:, :, 0], what[:, :, 1]], axis=2)
+
+    def vec(v):
+        if v is None:
+            return jnp.zeros((co,), jnp.float32)
+        v = v.reshape(-1)
+        return (
+            v.astype(jnp.float32)
+            if v.shape[0] == co
+            else jnp.tile(v.astype(jnp.float32), 2)
+        )
+
+    bp, cp = vec(bias_unpacked), vec(c_packed)
+
+    od, oh, owp = d - 2, h - 2, wp_dim - 1
+    ob = jnp.dtype(out_dtype or xp.dtype).itemsize
+    BD, BH, BWP = (
+        block if block is not None else _pick_block_pair(od, oh, owp, c2, co, ob)
+    )
+    assert BD % 2 == 0 and BH % 2 == 0 and BWP % 8 == 0
+    NP, RH, RW = BD + 2, BH + 2, BWP + 8
+
+    pd_, ph_, pwp = _ceil_to(od, BD), _ceil_to(oh, BH), _ceil_to(owp, BWP)
+    pads = ((0, 0), (0, pd_ + 2 - d), (0, ph_ + 2 - h), (0, pwp + 8 - wp_dim), (0, 0))
+    xp = jnp.pad(xp, pads)
+    sp = jnp.pad(sp, pads)
+
+    grid = (pd_ // BD, ph_ // BH, pwp // BWP)
+    kern = functools.partial(
+        _wino_pair_kernel, leaky=leaky, c2=c2, co=co, blk=(BD, BH, BWP),
+    )
+
+    out_sds = jax.ShapeDtypeStruct((pd_, ph_, pwp, co), out_dtype or xp.dtype)
+    call = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # x windows (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),      # s windows (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # transformed weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed bias
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed c fold vector
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (BD, BH, BWP, co), lambda i, j, k: (i, j, k, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (BD, BH, BWP, co), lambda i, j, k: (i, j, k, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[out_sds, out_sds],
+        scratch_shapes=[
+            pltpu.VMEM((2, NP, RH, RW, c2), xp.dtype),
+            pltpu.VMEM((2, NP, RH, RW, c2), xp.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 18 * 2 * BD * (BH + 2) * RW * c2 * co
+            * grid[0] * grid[1] * grid[2],
+            bytes_accessed=2 * (xp.size * 2 + pd_ * ph_ * pwp * co * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    ys, dys = [], []
+    for n in range(b):
+        y, dy = call(xp[n], sp[n], wk, bp, cp)
+        ys.append(y[None])
+        dys.append(dy[None])
+    yp = jnp.concatenate(ys, axis=0) if b > 1 else ys[0]
+    dyp = jnp.concatenate(dys, axis=0) if b > 1 else dys[0]
+    return yp[:, :od, :oh, :owp, :], dyp[:, :od, :oh, :owp, :]

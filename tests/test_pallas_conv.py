@@ -224,3 +224,181 @@ class TestWinoPallasOnTpu:
         # so compare in rms.
         assert np.abs(d1 - d0).max() / np.abs(d0).max() < 0.02
         assert (v1 - v0).std() / v0.std() < 0.08
+
+
+class TestPairKernelInterpret:
+    """Fused factored-tangent pair kernel vs the reference epilogue math
+    (interpret mode): y = conv(x, W) + b, dy = conv(s, W) - c (.) conv(x, W),
+    optional fused LeakyReLU pair.  This is the flagship vel layers' op
+    (models/blocks.py::_apply_packed_vel "g" path, round 5)."""
+
+    def _pair(self, x, s, w, b, c, leaky, block=(4, 4, 8)):
+        from jax_nbody_emulator_with_dj_tpu.ops import s2d
+        from jax_nbody_emulator_with_dj_tpu.ops.winograd import (
+            transform_packed_w3,
+        )
+        from jax_nbody_emulator_with_dj_tpu.ops.winograd_pallas import (
+            conv3d_wino_pallas_pair_packed,
+        )
+
+        xp, sp = s2d.pack(x), s2d.pack(s)
+        what = transform_packed_w3(s2d.pack_w3(w.astype(x.dtype)))
+        y, dy = conv3d_wino_pallas_pair_packed(
+            xp, sp, what, b, jnp.tile(c, 2), leaky=leaky,
+            interpret=True, block=block,
+        )
+        return s2d.unpack(y), s2d.unpack(dy)
+
+    @pytest.mark.parametrize("leaky", [False, True])
+    def test_matches_reference_epilogue(self, wb, leaky):
+        w, b = wb
+        c = jax.random.normal(jax.random.key(2), (C,)) * 0.3
+        x = jax.random.normal(KEY, (1, 12, 15, 22, C), jnp.float32)
+        s = jax.random.normal(jax.random.key(3), (1, 12, 15, 22, C), jnp.float32)
+        z, zt = conv3d(x, w), conv3d(s, w)
+        y_ref = z + b
+        dy_ref = zt - c * z
+        if leaky:
+            dy_ref = jnp.where(y_ref > 0, dy_ref, 0.01 * dy_ref)
+            y_ref = leaky_relu(y_ref)
+        y, dy = self._pair(x, s, w, b, c, leaky)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(dy), np.asarray(dy_ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_none_bias_and_fold_are_raw_convs(self, wb):
+        """bias=None / c=None run y = conv(x), dy = conv(s) — the per-part
+        form the packed-cat vel layer uses."""
+        from jax_nbody_emulator_with_dj_tpu.ops import s2d
+        from jax_nbody_emulator_with_dj_tpu.ops.winograd import (
+            transform_packed_w3,
+        )
+        from jax_nbody_emulator_with_dj_tpu.ops.winograd_pallas import (
+            conv3d_wino_pallas_pair_packed,
+        )
+
+        w, _ = wb
+        x = jax.random.normal(KEY, (1, 10, 10, 16, C), jnp.float32)
+        s = jax.random.normal(jax.random.key(3), (1, 10, 10, 16, C), jnp.float32)
+        xp, sp = s2d.pack(x), s2d.pack(s)
+        what = transform_packed_w3(s2d.pack_w3(w))
+        y, dy = conv3d_wino_pallas_pair_packed(
+            xp, sp, what, None, None, interpret=True, block=(4, 4, 8)
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2d.unpack(y)), np.asarray(conv3d(x, w)),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2d.unpack(dy)), np.asarray(conv3d(s, w)),
+            rtol=1e-4, atol=1e-5,
+        )
+
+
+class TestWino43Interpret:
+    """Mixed F(2,3)xF(4,3) kernel vs the direct conv (interpret mode).
+
+    MEASURED NEGATIVE for production (round 5): 63.7 vs 66.7 TF/s at the
+    narrow phase-3 shapes and 94.7 vs 96.3 at wide phase-1 shapes on a
+    v5e (scripts/experiments/microbench_wino43.py) — the 25% MAC cut is
+    eaten by the {2,4,5}-coefficient VPU transforms and halved dot rows.
+    The kernel is kept as a validated experiment; these tests pin its
+    correctness so the measurement stands on exact code.
+    """
+
+    def _wino43(self, x, w, b=None, leaky=False, block=(4, 8, 8)):
+        from jax_nbody_emulator_with_dj_tpu.ops.winograd43_pallas import (
+            conv3d_wino43_pallas,
+        )
+
+        return conv3d_wino43_pallas(x, w, b, leaky=leaky, interpret=True,
+                                    block=block)
+
+    def test_matches_direct_with_bias_and_leaky(self, wb):
+        w, b = wb
+        x = jax.random.normal(KEY, (1, 10, 14, 16, C), jnp.float32)
+        y_ref = leaky_relu(conv3d(x, w) + b)
+        y = self._wino43(x, w, b, leaky=True)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=2e-4, atol=2e-5
+        )
+
+    def test_multi_block_grid_and_clipping(self, wb):
+        w, b = wb
+        x = jax.random.normal(KEY, (1, 12, 15, 22, C), jnp.float32)
+        y_ref = conv3d(x, w) + b
+        y = self._wino43(x, w, b)
+        assert y.shape == y_ref.shape == (1, 10, 13, 20, C)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=2e-4, atol=2e-5
+        )
+
+    def test_bf16_error_within_gate_order(self, wb):
+        """F(4,3)'s {4,5,8} coefficients amplify bf16 rounding ~2x vs
+        F(2,3); the physics gate has ~50x margin (README)."""
+        w, b = wb
+        x = jax.random.normal(KEY, (1, 10, 14, 16, C), jnp.float32)
+        y_f32 = np.asarray(conv3d(x, w) + b)
+        y_wino = np.asarray(
+            self._wino43(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), b),
+            np.float32,
+        )
+        scale = np.abs(y_f32).max()
+        assert np.abs(y_wino - y_f32).max() / scale < 0.08
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="compiled pair kernel needs a TPU backend",
+)
+class TestPairKernelOnTpu:
+    """Compiled pair-kernel equivalence on real hardware."""
+
+    def test_pair_matches_two_singles_compiled(self):
+        from jax_nbody_emulator_with_dj_tpu.ops import s2d
+        from jax_nbody_emulator_with_dj_tpu.ops.winograd import (
+            transform_packed_w3,
+        )
+        from jax_nbody_emulator_with_dj_tpu.ops.winograd_pallas import (
+            conv3d_wino_pallas_packed,
+            conv3d_wino_pallas_pair_packed,
+        )
+
+        x = jax.random.normal(KEY, (1, 20, 22, 24, 128), jnp.bfloat16)
+        s = jax.random.normal(jax.random.key(3), (1, 20, 22, 24, 128),
+                              jnp.bfloat16)
+        w = jax.random.normal(KEY, (3, 3, 3, 64, 64), jnp.float32) * 0.05
+        what = transform_packed_w3(s2d.pack_w3(w).astype(jnp.bfloat16))
+        b = jnp.ones((64,), jnp.float32) * 0.1
+        c = (jax.random.normal(jax.random.key(2), (128,)) * 0.3).astype(
+            jnp.float32
+        )
+        z = conv3d_wino_pallas_packed(x, what)
+        zt = conv3d_wino_pallas_packed(s, what)
+        y_ref = z + jnp.tile(b, 2).astype(z.dtype)
+        dy_ref = zt - c.astype(z.dtype) * z
+        # Raw (no-leaky) pair: identical dots, only the bf16 epilogue
+        # reassociation differs (the pair folds bias/c on the f32
+        # accumulators; the reference folds on bf16-rounded z).
+        y, dy = conv3d_wino_pallas_pair_packed(x, s, what, b, c, leaky=False)
+        for got, ref in ((y, y_ref), (dy, dy_ref)):
+            got = np.asarray(got, np.float32)
+            ref = np.asarray(ref, np.float32)
+            assert np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6) < 0.02
+        # Leaky pair: dy's mask (y > 0) flips where the f32-precision y
+        # and the bf16-rounded reference y disagree in SIGN near zero —
+        # dy jumps 1 <-> 0.01 there under ANY epilogue rounding change
+        # (same phenomenon as the hierarchical wino test above), so dy
+        # compares in rms; y still compares elementwise (near zero the
+        # flip changes y itself by < |y|).
+        dy_ref_l = jnp.where(y_ref > 0, dy_ref, 0.01 * dy_ref)
+        y_ref_l = jnp.where(y_ref > 0, y_ref, 0.01 * y_ref)
+        y_l, dy_l = conv3d_wino_pallas_pair_packed(x, s, what, b, c, leaky=True)
+        y_l, dy_l = np.asarray(y_l, np.float32), np.asarray(dy_l, np.float32)
+        ref_y = np.asarray(y_ref_l, np.float32)
+        ref_dy = np.asarray(dy_ref_l, np.float32)
+        assert np.abs(y_l - ref_y).max() / np.abs(ref_y).max() < 0.02
+        assert (dy_l - ref_dy).std() / ref_dy.std() < 0.05
