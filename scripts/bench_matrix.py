@@ -27,6 +27,10 @@ REF = {  # A100 seconds, README.md:245-252
     ("style", "dispvel", "bfloat16"): 25.9,
     ("premod", "dispvel", "float32"): 44.7,
     ("style", "dispvel", "float32"): 44.9,
+    # 9th row: the headline config under the PLANNER's geometry (no manual
+    # knobs) — records that auto_hierarchical_config stays within a few
+    # percent of the measured-best manual geometry (VERDICT r4 #5).
+    ("premod", "dispvel-auto", "bfloat16"): 25.8,
 }
 
 
@@ -68,8 +72,10 @@ def main():
         ]
         if kind == "style":
             cmd.append("--style")
-        if mode == "disp":
+        if mode.startswith("disp") and "vel" not in mode:
             cmd.append("--no-vel")
+        if mode.endswith("-auto"):
+            cmd += ["--runtime", "auto"]
         print(f"--- {tag} ---", file=sys.stderr, flush=True)
         record = {"row": tag, "reference_a100_s": ref_s}
         try:
